@@ -1,0 +1,248 @@
+"""Pure-numpy planar geometry: point-in-polygon + quadtree cell cover.
+
+Replaces the reference's PostGIS surface (ST_Contains / GiST index /
+ST_MakeValid-ST_Union repair cascade — bin/lib/functionsProcess.sh:1891-1989,
+sql/functionsProcess_21_createFunctionToGetCountry.sql:204-220) with:
+
+- `PolygonPack`: polygons flattened into contiguous numpy arrays; one pack
+  for the whole polygon dimension, pickled into a Spark broadcast and
+  shared by every Arrow batch on an executor (the analog of PostGIS
+  prepared geometries cached per backend).
+- `points_in_polygon`: vectorized even-odd (ray-casting) test — handles
+  holes and multipolygon parts with no special casing because parity
+  composes. Convention: points exactly on a boundary are NOT reliably
+  classified (PostGIS ST_Contains excludes boundaries); all synthetic
+  fixtures place vertices at half-microdegree offsets so integer-µdeg
+  points never sit on an edge, and tests pin the convention.
+- `cover_polygon`: recursive quadtree cover at a target geocell level,
+  classifying each cell FULL (entirely inside → containment proven, no
+  exact test needed at join time) or PARTIAL (boundary cell → exact PIP
+  refinement). This is the engine's replacement for both the GiST index
+  and the reference's 24-zone priority grid.
+
+Polygon model: a "polygon" is a list of rings; each ring is an (N,2)
+float64 array of (lon, lat) vertices (closed implicitly). Exterior vs
+hole need not be distinguished (even-odd parity). Multipolygon = just
+more rings. Antimeridian-straddling shapes must be pre-split into
+east/west parts (rings never cross lon=±180), mirroring how the reference
+hand-wraps its Pacific zone.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+FULL = 1
+PARTIAL = 2
+OUTSIDE = 0
+
+
+def points_in_rings(px: np.ndarray, py: np.ndarray, rings: list[np.ndarray]) -> np.ndarray:
+    """Even-odd PIP of many points against one polygon (list of rings).
+
+    px, py: (M,) lon/lat arrays. Returns bool (M,).
+    Vectorized over points AND edges: O(M * E) numpy ops, no Python loop
+    over points. E (total edges per polygon) is small (≤ a few thousand
+    for admin-0 shapes); M is the Arrow batch.
+    """
+    px = np.asarray(px, dtype=np.float64)
+    py = np.asarray(py, dtype=np.float64)
+    inside = np.zeros(px.shape[0], dtype=bool)
+    for ring in rings:
+        x1 = ring[:, 0]
+        y1 = ring[:, 1]
+        x2 = np.roll(x1, -1)
+        y2 = np.roll(y1, -1)
+        # crossing test per (point, edge); strict/non-strict split avoids
+        # double-counting vertices and skips horizontal edges entirely
+        cond = (y1[None, :] > py[:, None]) != (y2[None, :] > py[:, None])
+        with np.errstate(divide="ignore", invalid="ignore"):
+            xint = x1[None, :] + (py[:, None] - y1[None, :]) / (y2[None, :] - y1[None, :]) * (
+                x2[None, :] - x1[None, :]
+            )
+        cross = cond & (px[:, None] < xint)
+        inside ^= (cross.sum(axis=1) % 2).astype(bool)
+    return inside
+
+
+def segments_intersect_rect(
+    rings: list[np.ndarray], lon_min: float, lat_min: float, lon_max: float, lat_max: float
+) -> bool:
+    """True if any ring edge intersects the axis-aligned rect (inclusive).
+
+    Uses a Cohen–Sutherland-style outcode reject then exact separating-axis
+    test for the remaining candidates.
+    """
+    for ring in rings:
+        x1, y1 = ring[:, 0], ring[:, 1]
+        x2, y2 = np.roll(x1, -1), np.roll(y1, -1)
+        # trivially outside on one side → no intersection
+        reject = (
+            ((x1 < lon_min) & (x2 < lon_min))
+            | ((x1 > lon_max) & (x2 > lon_max))
+            | ((y1 < lat_min) & (y2 < lat_min))
+            | ((y1 > lat_max) & (y2 > lat_max))
+        )
+        cand = ~reject
+        if not cand.any():
+            continue
+        cx1, cy1, cx2, cy2 = x1[cand], y1[cand], x2[cand], y2[cand]
+        # endpoint inside rect → intersects
+        def _inside(x, y):
+            return (x >= lon_min) & (x <= lon_max) & (y >= lat_min) & (y <= lat_max)
+
+        if (_inside(cx1, cy1) | _inside(cx2, cy2)).any():
+            return True
+        # segment crosses rect without endpoints inside: test against the
+        # 4 rect edges with cross-product orientation tests
+        corners = np.array(
+            [
+                [lon_min, lat_min],
+                [lon_max, lat_min],
+                [lon_max, lat_max],
+                [lon_min, lat_max],
+            ]
+        )
+        dx, dy = cx2 - cx1, cy2 - cy1
+        for i in range(4):
+            ax, ay = corners[i]
+            bx, by = corners[(i + 1) % 4]
+            d1 = dx * (ay - cy1) - dy * (ax - cx1)
+            d2 = dx * (by - cy1) - dy * (bx - cx1)
+            ex, ey = bx - ax, by - ay
+            d3 = ex * (cy1 - ay) - ey * (cx1 - ax)
+            d4 = ex * (cy2 - ay) - ey * (cx2 - ax)
+            if ((d1 * d2 <= 0) & (d3 * d4 <= 0)).any():
+                return True
+    return False
+
+
+def classify_rect(rings: list[np.ndarray], bbox, lon_min, lat_min, lon_max, lat_max) -> int:
+    """FULL / PARTIAL / OUTSIDE classification of a rect vs a polygon."""
+    plon_min, plat_min, plon_max, plat_max = bbox
+    if lon_max < plon_min or lon_min > plon_max or lat_max < plat_min or lat_min > plat_max:
+        return OUTSIDE
+    if segments_intersect_rect(rings, lon_min, lat_min, lon_max, lat_max):
+        return PARTIAL
+    # no edge crosses the rect → rect is uniformly inside or outside;
+    # test the center point
+    cx = np.array([(lon_min + lon_max) / 2.0])
+    cy = np.array([(lat_min + lat_max) / 2.0])
+    return FULL if points_in_rings(cx, cy, rings)[0] else OUTSIDE
+
+
+def cover_polygon(rings: list[np.ndarray], level: int, coarse_level: int = 3):
+    """Quadtree cover of a polygon at geocell `level`.
+
+    Returns (full_cells, partial_cells) as int64 arrays of geocell ids.
+    Recursion starts at `coarse_level` and splits PARTIAL cells until
+    `level`; FULL cells found early are expanded to `level` children? No —
+    FULL cells are emitted AT THE LEVEL THEY WERE PROVEN, then expanded
+    lazily: we emit them at target level only if the expansion is small,
+    otherwise we keep a mixed-resolution cover and the join side encodes
+    points at every cover level present. To keep the join single-keyed we
+    expand everything to `level` here; covers are built once at polygon
+    prep (driver side, ~250 polygons) so the cost is irrelevant, and cover
+    size at level ≤ 9 is bounded.
+    """
+    from .cells import MAX_LEVEL, cell_bounds, encode_xy
+
+    if level > MAX_LEVEL:
+        raise ValueError("level too deep")
+    bbox = (
+        min(float(r[:, 0].min()) for r in rings),
+        min(float(r[:, 1].min()) for r in rings),
+        max(float(r[:, 0].max()) for r in rings),
+        max(float(r[:, 1].max()) for r in rings),
+    )
+    full: list[int] = []
+    partial: list[int] = []
+
+    def expand_full(x: int, y: int, lvl: int):
+        shift = level - lvl
+        if shift == 0:
+            full.append(int(encode_xy(x, y, lvl)))
+            return
+        n = 1 << shift
+        xs = (np.int64(x) << shift) + np.arange(n, dtype=np.int64)
+        ys = (np.int64(y) << shift) + np.arange(n, dtype=np.int64)
+        gx, gy = np.meshgrid(xs, ys)
+        full.extend(encode_xy(gx.ravel(), gy.ravel(), level).tolist())
+
+    def recurse(x: int, y: int, lvl: int):
+        cell = int(encode_xy(x, y, lvl))
+        lon_min, lat_min, lon_max, lat_max = (float(v) for v in cell_bounds(cell))
+        cls = classify_rect(rings, bbox, lon_min, lat_min, lon_max, lat_max)
+        if cls == OUTSIDE:
+            return
+        if cls == FULL:
+            expand_full(x, y, lvl)
+            return
+        if lvl == level:
+            partial.append(cell)
+            return
+        for dx in (0, 1):
+            for dy in (0, 1):
+                recurse((x << 1) | dx, (y << 1) | dy, lvl + 1)
+
+    n0 = 1 << coarse_level
+    for x in range(n0):
+        for y in range(n0):
+            recurse(x, y, coarse_level)
+    return np.asarray(full, dtype=np.int64), np.asarray(partial, dtype=np.int64)
+
+
+@dataclass
+class PolygonPack:
+    """The whole polygon dimension flattened for broadcast + fast lookup.
+
+    vertices: (V,2) float64 — all rings of all polygons concatenated
+    ring_offsets: (R+1,) int64 into vertices
+    poly_ring_offsets: (P+1,) int64 into ring_offsets
+    ids / priorities / names: (P,)
+    """
+
+    vertices: np.ndarray
+    ring_offsets: np.ndarray
+    poly_ring_offsets: np.ndarray
+    ids: np.ndarray
+    priorities: np.ndarray
+    names: list[str] = field(default_factory=list)
+
+    @classmethod
+    def build(cls, polys: list[dict]) -> "PolygonPack":
+        """polys: [{'country_id', 'priority', 'name', 'rings': [ndarray...]}]"""
+        verts = []
+        ring_off = [0]
+        poly_off = [0]
+        ids, prios, names = [], [], []
+        for p in polys:
+            for ring in p["rings"]:
+                verts.append(np.asarray(ring, dtype=np.float64))
+                ring_off.append(ring_off[-1] + len(ring))
+            poly_off.append(len(ring_off) - 1)
+            ids.append(p["country_id"])
+            prios.append(p.get("priority", 0))
+            names.append(p.get("name", str(p["country_id"])))
+        return cls(
+            vertices=np.concatenate(verts) if verts else np.zeros((0, 2)),
+            ring_offsets=np.asarray(ring_off, dtype=np.int64),
+            poly_ring_offsets=np.asarray(poly_off, dtype=np.int64),
+            ids=np.asarray(ids, dtype=np.int64),
+            priorities=np.asarray(prios, dtype=np.int64),
+            names=names,
+        )
+
+    def rings_of(self, poly_idx: int) -> list[np.ndarray]:
+        r0, r1 = self.poly_ring_offsets[poly_idx], self.poly_ring_offsets[poly_idx + 1]
+        return [
+            self.vertices[self.ring_offsets[r] : self.ring_offsets[r + 1]] for r in range(r0, r1)
+        ]
+
+    def index_of_id(self) -> dict[int, int]:
+        return {int(cid): i for i, cid in enumerate(self.ids)}
+
+    def contains(self, poly_idx: int, lon: np.ndarray, lat: np.ndarray) -> np.ndarray:
+        return points_in_rings(np.asarray(lon), np.asarray(lat), self.rings_of(poly_idx))

@@ -1,0 +1,104 @@
+"""Coordinate + text extraction from raw page HTML (Arrow-batched).
+
+The engine's analog of the reference's AWK extraction layer:
+- awk/extract_notes.awk:25-108  — note_id/lat/lon extraction with
+  format auto-detection (Planet attr vs API subtag); here: three HTML
+  coordinate formats auto-detected per page;
+- awk/extract_comment_texts.awk:65-160 — multiline text accumulation +
+  HTML entity decode with &amp; decoded LAST (golden-parity detail);
+- bin/lib/functionsProcess.sh:2705-2843 — coordinate range validation
+  (lat∈[-90,90], lon∈[-180,180]); rejects are surfaced as a metrics
+  counter, not dropped silently.
+
+Implemented as mapInPandas (iterator of Arrow record batches): all regex
+work is pandas .str vectorized ops over the batch — no per-row Python
+function calls. Output preserves bytes: text is decoded from the UTF-8
+html and re-emitted unmodified (byte-identical per url, the input_hint
+invariant).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# decode order matters: amp LAST (awk/extract_comment_texts.awk:74-89)
+_ENTITIES = [("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'), ("&apos;", "'"), ("&amp;", "&")]
+
+_META_RE = r'<meta name="geo\.position" content="(-?\d+\.\d+);(-?\d+\.\d+)"'
+_DIV_RE = r'data-lat="(-?\d+\.\d+)" data-lon="(-?\d+\.\d+)"'
+_SPAN_RE = r"GPS: (-?\d+\.\d+), (-?\d+\.\d+)"
+_TEXT_RE = r'<p class="c">([\s\S]*?)</p>'
+
+EXTRACT_SCHEMA = (
+    "id long, url string, warc_ts timestamp, lang string, "
+    "lat double, lon double, lat_e6 long, lon_e6 long, text string, "
+    "has_coords boolean, rejected boolean"
+)
+
+
+def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        # lenient decode: real crawl data contains invalid UTF-8; replacement
+        # never alters valid pages, so the byte-identity invariant holds
+        html = pdf["html"].apply(lambda b: b.decode("utf-8", "replace"))
+        html = pd.Series(html, dtype="string")
+
+        coords = html.str.extract(_META_RE)
+        for pat in (_DIV_RE, _SPAN_RE):
+            missing = coords[0].isna()
+            if missing.any():
+                alt = html[missing].str.extract(pat)
+                coords.loc[missing, 0] = alt[0]
+                coords.loc[missing, 1] = alt[1]
+        lat = pd.to_numeric(coords[0], errors="coerce")
+        lon = pd.to_numeric(coords[1], errors="coerce")
+
+        found = lat.notna() & lon.notna()
+        valid = found & lat.between(-90.0, 90.0) & lon.between(-180.0, 180.0)
+        rejected = found & ~valid
+        lat = lat.where(valid)
+        lon = lon.where(valid)
+
+        text = html.str.extract(_TEXT_RE)[0]
+        for ent, ch in _ENTITIES:
+            text = text.str.replace(ent, ch, regex=False)
+
+        out = pd.DataFrame(
+            {
+                "id": pdf["id"],
+                "url": pdf["url"],
+                "warc_ts": pdf["warc_ts"],
+                "lang": pdf["lang"],
+                "lat": lat.astype("float64"),
+                "lon": lon.astype("float64"),
+                "lat_e6": (lat * 1e6).round(),
+                "lon_e6": (lon * 1e6).round(),
+                "text": text.astype(object),
+                "has_coords": valid.fillna(False).astype(bool),
+                "rejected": rejected.fillna(False).astype(bool),
+            }
+        )
+        out["lat_e6"] = out["lat_e6"].astype("Int64")
+        out["lon_e6"] = out["lon_e6"].astype("Int64")
+        yield out
+
+
+def extract_pages(pages: DataFrame) -> DataFrame:
+    """pages(id,url,warc_ts,html,lang) → extracted rows (see EXTRACT_SCHEMA)."""
+    return pages.mapInPandas(_extract_batches, schema=EXTRACT_SCHEMA)
+
+
+def extraction_metrics(extracted: DataFrame) -> DataFrame:
+    """Reject/valid counters — the reference's validation reporting
+    (functionsProcess.sh:2705+) as an explicit aggregation, never a UDF
+    side effect."""
+    return extracted.agg(
+        F.count("*").alias("n_pages"),
+        F.sum(F.col("has_coords").cast("long")).alias("n_valid_coords"),
+        F.sum(F.col("rejected").cast("long")).alias("n_rejected"),
+        F.sum((~F.col("has_coords") & ~F.col("rejected")).cast("long")).alias("n_no_coords"),
+    )
