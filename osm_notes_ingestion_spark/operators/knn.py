@@ -1,0 +1,117 @@
+"""kNN: k nearest pages to each query point, via cell-ring expansion.
+
+Generalizes the reference's "check neighboring candidates in priority
+order" search pattern (get_country's zone triage,
+sql/functionsProcess_21_createFunctionToGetCountry.sql:60-201) into a
+k-nearest-neighbor operator. No reference counterpart exists (SURVEY §2.8),
+so semantics are pinned by a brute-force oracle:
+
+    metric: squared planar distance in integer microdegrees with
+    longitude wrap — d² = dlat² + min(|dlon|, 360e6−|dlon|)²
+    ties broken by ascending id (deterministic)
+
+Scale design: queries (small) are exploded to their k-ring geocells and
+broadcast; the fact table joins on its (JVM-computed) cell — map-side
+pruning, one shuffle for the per-query top-k (partial top-k per
+partition would apply via AQE). The ring radius doubles (driver loop)
+until the k-th best distance is PROVABLY inside the ring: any point
+outside Chebyshev ring r is > r·(180°/n)·1e6 µdeg away. With a
+density-informed initial radius this converges in 1–2 iterations.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.cells import cell_col, encode, k_ring
+
+
+def knn(
+    spark: SparkSession,
+    points: DataFrame,
+    queries: list[tuple[int, float, float]],  # (query_id, lat, lon)
+    k: int = 5,
+    level: int = 6,
+    initial_radius: int = 1,
+    id_col: str = "id",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+) -> DataFrame:
+    """→ (query_id, rank, id, d2) — the k nearest points per query."""
+    pts = points.where(F.col(lat_col).isNotNull()).select(
+        F.col(id_col).alias("id"),
+        F.round(F.col(lat_col) * 1e6).cast("long").alias("plat"),
+        F.round(F.col(lon_col) * 1e6).cast("long").alias("plon"),
+        cell_col(F.col(lat_col), F.col(lon_col), level).alias("cell"),
+    )
+    n = 1 << level
+    cell_h_e6 = 180.0 / n * 1e6
+
+    radius = initial_radius
+    qids = np.array([q[0] for q in queries], dtype=np.int64)
+    qlats = np.array([q[1] for q in queries], dtype=np.float64)
+    qlons = np.array([q[2] for q in queries], dtype=np.float64)
+    qcells = encode(qlats, qlons, level)
+
+    while True:
+        rows = []
+        for qid, qlat, qlon, qc in zip(qids, qlats, qlons, qcells):
+            for c in k_ring(int(qc), radius).tolist():
+                rows.append((int(qid), int(round(qlat * 1e6)), int(round(qlon * 1e6)), c))
+        qdf = spark.createDataFrame(rows, "query_id long, qlat long, qlon long, cell long")
+
+        dlon = F.abs(F.col("plon") - F.col("qlon"))
+        dlon = F.least(dlon, F.lit(360_000_000) - dlon)
+        d2 = (F.col("plat") - F.col("qlat")) * (F.col("plat") - F.col("qlat")) + dlon * dlon
+        w = Window.partitionBy("query_id").orderBy("d2", "id")
+        topk = (
+            pts.join(F.broadcast(qdf), "cell", "inner")
+            .withColumn("d2", d2)
+            .withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "rank", "id", "d2")
+        )
+        got = topk.groupBy("query_id").agg(F.count("*").alias("n"), F.max("d2").alias("maxd2"))
+        stats = {r.query_id: (r.n, r.maxd2) for r in got.collect()}
+        # conservative: −1 µdeg absorbs the e6 rounding of point coords
+        bound = max(radius * cell_h_e6 - 1.0, 0.0) ** 2
+        ok = all(
+            qid in stats and stats[qid][0] >= k and stats[qid][1] < bound for qid in qids.tolist()
+        )
+        if ok or radius >= n:  # whole world covered → exact by exhaustion
+            return topk
+        radius *= 2
+
+
+def knn_brute_force(
+    points: DataFrame,
+    queries: list[tuple[int, float, float]],
+    k: int = 5,
+    id_col: str = "id",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+) -> DataFrame:
+    """Oracle twin: exhaustive cross join. Same metric, same tie-break."""
+    spark = points.sparkSession
+    qdf = spark.createDataFrame(
+        [(q[0], int(round(q[1] * 1e6)), int(round(q[2] * 1e6))) for q in queries],
+        "query_id long, qlat long, qlon long",
+    )
+    pts = points.where(F.col(lat_col).isNotNull()).select(
+        F.col(id_col).alias("id"),
+        F.round(F.col(lat_col) * 1e6).cast("long").alias("plat"),
+        F.round(F.col(lon_col) * 1e6).cast("long").alias("plon"),
+    )
+    dlon = F.abs(F.col("plon") - F.col("qlon"))
+    dlon = F.least(dlon, F.lit(360_000_000) - dlon)
+    d2 = (F.col("plat") - F.col("qlat")) * (F.col("plat") - F.col("qlat")) + dlon * dlon
+    w = Window.partitionBy("query_id").orderBy("d2", "id")
+    return (
+        pts.crossJoin(F.broadcast(qdf))
+        .withColumn("d2", d2)
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "id", "d2")
+    )

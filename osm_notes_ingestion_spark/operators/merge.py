@@ -1,0 +1,226 @@
+"""Incremental merge semantics: dedup, upsert, status fold, watermark.
+
+Reference analogs:
+- J2 dedup anti-join: EXCEPT-based new-vs-existing
+  (sql/process/processPlanetNotes_43_removeDuplicates.sql:24-30)
+- J3 upsert: INSERT ... ON CONFLICT DO UPDATE
+  (sql/process/processPlanetNotes_43_moveSyncToMain.sql:10-19)
+- J4 existence guard: text comments must have a parent comment
+  (same file :66-74)
+- J5 anti-join gap detection + A4 gap stats
+  (sql/process/processAPINotes_34_updateLastValues.sql:28-64)
+- A2 user-dimension dedup (MIN(username) GROUP BY id_user, :31-36)
+- A3 guarded watermark advance: MAX over streams, REFUSED when the
+  integrity gap exceeds threshold (processAPINotes_34:92-124)
+- §2.5 status fold: the update_note() trigger state machine
+  (processPlanetNotes_22_createBaseTables_tables.sql:249-347)
+
+Status-fold closed form (proof in fold_status docstring): the trigger's
+sequential per-event fold collapses to window aggregates — O(1) passes,
+no recursion, no per-row Python — because invalid transitions are
+ignored (re-close while closed, re-open while open) and `hidden` is
+always accepted from any state (the trigger's ELSE branch covers both
+'close' and 'hidden', so hidden behaves like close for transition
+purposes: a later 'reopened' re-opens a hidden note).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def dedup_new_rows(sync: DataFrame, base: DataFrame, key: str | list[str]) -> DataFrame:
+    """J2: rows in sync whose key is absent from base (left_anti)."""
+    keys = [key] if isinstance(key, str) else list(key)
+    return sync.join(base.select(*keys).distinct(), keys, "left_anti")
+
+
+def upsert(base: DataFrame, sync: DataFrame, key: str | list[str]) -> DataFrame:
+    """J3 as a batch expression: sync wins on conflict, base rows survive.
+
+    (On an Iceberg deployment this is `MERGE INTO`; the parquet-fallback
+    engine expresses the same result relationally: full outer on the key,
+    per-column coalesce(sync, base).)
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    cols = base.columns
+    s = sync.select(*cols)
+    joined = base.alias("b").join(s.alias("s"), keys, "full_outer")
+    out_cols = [
+        F.coalesce(F.col(f"s.{c}"), F.col(f"b.{c}")).alias(c) if c not in keys else F.col(c)
+        for c in cols
+    ]
+    return joined.select(*out_cols)
+
+
+def existence_guard(child: DataFrame, parent: DataFrame, keys: list[str]) -> DataFrame:
+    """J4: keep child rows whose (keys) exist in parent (left_semi)."""
+    return child.join(parent.select(*keys).distinct(), keys, "left_semi")
+
+
+def users_dimension(comments: DataFrame, user_col: str = "user_id", name_col: str = "username") -> DataFrame:
+    """A2: deduped user dimension, MIN(name) per id."""
+    return (
+        comments.where(F.col(user_col).isNotNull())
+        .groupBy(user_col)
+        .agg(F.min(name_col).alias(name_col))
+    )
+
+
+def fold_status(
+    events: DataFrame,
+    entity_col: str = "note_id",
+    event_col: str = "event",
+    ts_col: str = "created_at",
+    seq_col: str | None = None,
+) -> DataFrame:
+    """→ (entity, status ∈ {open, close, hidden}, closed_at) per entity.
+
+    Closed form of the reference trigger's sequential fold. Let H = last
+    'hidden' event, C = last 'closed', R = last 'reopened' (by event
+    order). Then:
+
+      no hidden events:
+          status = 'close' if C is after R (a closed is the last c/r
+          event — whether that particular closed was 'valid' or ignored,
+          the state at that point is close either way) else 'open'.
+      hidden events exist:
+          events after H: a 'closed' is IGNORED until a 'reopened'
+          re-opens the note. So if no reopened after H → 'hidden';
+          else status = 'open' if R after C else 'close'.
+
+      closed_at: ts(H) if hidden (hidden-on-hidden re-stamps closed_at —
+      trigger ELSE branch), NULL if open; if close, the ts of the first
+      EFFECTIVE closed — i.e. the first 'closed' after the last
+      'reopened' (a double-close keeps the FIRST close's timestamp, the
+      ignored re-close does not re-stamp: reference fixture double_close).
+
+    Equivalence with the sequential trigger is property-tested against a
+    literal fold in tests/test_status_fold.py.
+    """
+    from pyspark.sql import Window
+
+    order = [F.col(ts_col)] + ([F.col(seq_col)] if seq_col else [])
+    # event position: rank within entity by (ts, seq); use a struct max
+    pos = F.struct(*order)
+    e = F.col(event_col)
+    wq = Window.partitionBy(entity_col)
+    events = events.withColumn("_lastr", F.max(F.when(e == "reopened", pos)).over(wq))
+    agg = events.groupBy(entity_col).agg(
+        F.max(F.when(e == "hidden", pos)).alias("_h"),
+        F.max(F.when(e == "closed", pos)).alias("_c"),
+        F.max(F.when(e == "reopened", pos)).alias("_r"),
+        F.min(
+            F.when((e == "closed") & (F.col("_lastr").isNull() | (pos > F.col("_lastr"))), pos)
+        ).alias("_ce"),
+    )
+    h, c, r = F.col("_h"), F.col("_c"), F.col("_r")
+    after = lambda a, b: b.isNull() | (a > b)  # noqa: E731  (a exists and is after b)
+    status = (
+        F.when(
+            h.isNotNull(),
+            F.when(r.isNull() | (r < h), F.lit("hidden"))
+            .when(c.isNotNull() & (c > r), F.lit("close"))
+            .otherwise(F.lit("open")),
+        )
+        .when(c.isNotNull() & after(c, r), F.lit("close"))
+        .otherwise(F.lit("open"))
+    )
+    closed_at = (
+        F.when(status == "close", F.col("_ce")[ts_col])
+        .when(status == "hidden", h[ts_col])
+        .otherwise(F.lit(None))
+    )
+    return agg.select(
+        F.col(entity_col),
+        status.alias("status"),
+        closed_at.alias("closed_at"),
+    )
+
+
+def count_ignored_transitions(
+    events: DataFrame,
+    entity_col: str = "note_id",
+    event_col: str = "event",
+    ts_col: str = "created_at",
+    seq_col: str | None = None,
+) -> DataFrame:
+    """The trigger's 'WARNING: ignoring invalid transition' log, as data.
+
+    An event is ignored iff it repeats the current macro-state:
+    'closed' while not open, 'reopened' while open. Computed with a
+    window over the c/r/h subsequence: macro-state before event i is
+    determined by the previous effective event; with hidden ≡ not-open
+    the macro state flips exactly on: closed (open→not-open),
+    reopened (not-open→open), hidden (→not-open). A closed/reopened is
+    effective iff it differs from the running state; equivalently, a
+    'closed' is ignored iff the previous state-changing event was
+    closed/hidden, and a 'reopened' is ignored iff the previous
+    state-changing event was reopened or none.
+    """
+    from pyspark.sql import Window
+
+    order = [F.col(ts_col)] + ([F.col(seq_col)] if seq_col else [])
+    w = Window.partitionBy(entity_col).orderBy(*order)
+    sub = events.where(F.col(event_col).isin("closed", "reopened", "hidden"))
+    # run-compress closed/reopened: an event is ignored iff it equals the
+    # previous non-hidden-normalized state. Track state after each event:
+    # closed→'close', hidden→'close' (macro not-open), reopened→'open'.
+    macro = F.when(F.col(event_col) == "reopened", "open").otherwise("notopen")
+    sub = sub.withColumn("_m", macro).withColumn("_pm", F.lag("_m").over(w))
+    ignored = (
+        F.when((F.col(event_col) == "hidden"), F.lit(False))  # hidden always valid
+        .when(F.col("_pm").isNull(), F.col(event_col) == "reopened")  # start = open
+        .otherwise(F.col("_m") == F.col("_pm"))
+    )
+    return (
+        sub.withColumn("_ignored", ignored)
+        .groupBy(entity_col)
+        .agg(F.sum(F.col("_ignored").cast("long")).alias("n_ignored"))
+    )
+
+
+def gap_stats(
+    notes: DataFrame, comments: DataFrame, note_key: str = "note_id"
+) -> DataFrame:
+    """J5+A4: notes with no comments — count, percentage, sorted id list
+    (json_agg analog: to_json(sort_array(collect_list())))."""
+    gaps = notes.join(comments.select(note_key).distinct(), note_key, "left_anti")
+    total = notes.select(F.countDistinct(note_key).alias("_t"))
+    return gaps.agg(
+        F.countDistinct(note_key).alias("n_gaps"),
+        F.to_json(F.sort_array(F.collect_list(note_key))).alias("gap_ids"),
+    ).crossJoin(total).select(
+        "n_gaps",
+        F.round(F.col("n_gaps") * 100.0 / F.col("_t"), 2).alias("gap_pct"),
+        "gap_ids",
+    )
+
+
+def guarded_watermark(
+    current_watermark,  # timestamp or None
+    candidates: list[DataFrame],
+    ts_cols: list[str],
+    gap_pct: float,
+    max_gap_pct: float = 5.0,
+):
+    """A3: new watermark = MAX over the streams' MAX(ts) — but the advance
+    is REFUSED (returns current) when the integrity gap exceeds the
+    threshold (processAPINotes_34_updateLastValues.sql:92-124)."""
+    if gap_pct > max_gap_pct:
+        return current_watermark, False
+    maxes = [df.agg(F.max(c).alias("m")).collect()[0].m for df, c in zip(candidates, ts_cols)]
+    maxes = [m for m in maxes if m is not None]
+    if current_watermark is not None:
+        maxes.append(current_watermark)
+    return (max(maxes) if maxes else None), True
+
+
+def reconcile_diff(a: DataFrame, b: DataFrame) -> DataFrame:
+    """O5 monitor: symmetric EXCEPT diff of two lineages
+    (sql/monitor/notesCheckVerifier-report.sql:41-120). Returns rows with
+    a 'side' column: 'only_a' / 'only_b'."""
+    only_a = a.exceptAll(b).withColumn("side", F.lit("only_a"))
+    only_b = b.exceptAll(a).withColumn("side", F.lit("only_b"))
+    return only_a.unionByName(only_b)

@@ -1,0 +1,65 @@
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from osm_notes_ingestion_spark.functions.mercator import tile_xy_np
+from osm_notes_ingestion_spark.operators.extract import extract_pages
+from osm_notes_ingestion_spark.operators.knn import knn, knn_brute_force
+from osm_notes_ingestion_spark.operators.tiles import check_pyramid, tile_counts
+from osm_notes_ingestion_spark.sources.synth import pages_df
+
+
+@pytest.fixture(scope="module")
+def pts(spark, sf_dir):
+    return (
+        extract_pages(pages_df(spark, sf_dir))
+        .where(F.col("has_coords"))
+        .select("id", "lat", "lon")
+        .cache()
+    )
+
+
+def test_tile_counts_vs_numpy(pts):
+    tiles = tile_counts(pts, max_zoom=6, min_zoom=2).toPandas()
+    pdf = pts.toPandas()
+    for z in range(2, 7):
+        x, y = tile_xy_np(pdf["lat"].to_numpy(), pdf["lon"].to_numpy(), z)
+        exp = pd.DataFrame({"x": x, "y": y}).value_counts().sort_index()
+        got = (
+            tiles[tiles["z"] == z]
+            .set_index(["x", "y"])["cnt"]
+            .sort_index()
+        )
+        assert got.size == exp.size, f"z={z}: {got.size} tiles vs {exp.size}"
+        assert (got.values == exp.values).all(), f"z={z} count mismatch"
+
+
+def test_pyramid_invariant(pts):
+    tiles = tile_counts(pts, max_zoom=6, min_zoom=0)
+    assert check_pyramid(tiles).count() == 0
+    # total conservation at every zoom
+    per_z = tiles.groupBy("z").agg(F.sum("cnt").alias("t")).collect()
+    totals = {r.z: r.t for r in per_z}
+    assert len(set(totals.values())) == 1
+
+
+def test_knn_matches_brute_force(spark, pts):
+    queries = [(1, 35.0, -100.0), (2, 0.0, 60.0), (3, -5.0, 179.9), (4, 86.0, 10.0)]
+    fast = knn(spark, pts, queries, k=5, level=6).toPandas()
+    slow = knn_brute_force(pts, queries, k=5).toPandas()
+    fast = fast.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    slow = slow.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(fast[["query_id", "rank", "id", "d2"]], slow[["query_id", "rank", "id", "d2"]])
+
+
+def test_knn_wraps_antimeridian(spark):
+    # two points straddling ±180: the wrap must make them neighbors
+    pdf = spark.createDataFrame(
+        [(1, 0.0, 179.99), (2, 0.0, -179.99), (3, 0.0, 100.0)],
+        "id long, lat double, lon double",
+    )
+    res = knn(spark, pdf, [(9, 0.0, 179.995)], k=2, level=4).toPandas()
+    assert set(res["id"]) == {1, 2}
