@@ -1,0 +1,208 @@
+"""Driver-gate queries: spatial family (extract / assign / tiles / knn).
+
+Each entry: name → (spark_fn(spark, sf_dir) -> DataFrame, oracle_sql|None).
+Oracle SQL runs in DuckDB over the pre-registered testdata views; the
+pages table is derived from `events` by the shared integer formulas in
+sources/synth.py, so both sides reconstruct identical ground truth.
+
+Output discipline (driver hashes values after sorting columns by name):
+- integer outputs wherever possible (µdeg, counts, ids);
+- every computed column aliased identically on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.extract import extract_pages
+from ..operators.knn import knn
+from ..operators.spatial_join import assign_countries
+from ..operators.tiles import tile_counts
+from ..sources.polygons import prep_polygons
+from ..sources.synth import (
+    pages_df,
+    sql_country_case,
+    sql_lat_e6,
+    sql_lon_e6,
+    sql_page_text,
+    sql_u,
+    world_polygons,
+)
+
+_PTS_CTE = f"""WITH pts AS (
+  SELECT event_id AS id,
+         {sql_lat_e6('event_id')} AS lat_e6,
+         {sql_lon_e6('event_id')} AS lon_e6,
+         {sql_u('event_id')} AS u,
+         ts, event_type, props
+  FROM events
+)"""
+
+
+def _extracted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return extract_pages(pages_df(spark, sf_dir))
+
+
+def _index():
+    return prep_polygons(world_polygons(), level=9)
+
+
+# ---------------------------------------------------------------- extract
+
+
+def q_extract_coords(spark, sf_dir):
+    return _extracted(spark, sf_dir).select(
+        "id", "lat_e6", "lon_e6", "has_coords", "rejected"
+    )
+
+
+SQL_EXTRACT_COORDS = f"""{_PTS_CTE}
+SELECT id, lat_e6, lon_e6,
+       (u < 90000) AS has_coords,
+       (u >= 97000) AS rejected
+FROM pts"""
+
+
+def q_extract_text_md5(spark, sf_dir):
+    return _extracted(spark, sf_dir).select(
+        "id", F.md5(F.encode("text", "UTF-8")).alias("text_md5")
+    )
+
+
+SQL_EXTRACT_TEXT_MD5 = f"""{_PTS_CTE}
+SELECT id, md5({sql_page_text('id', 'event_type', 'props')}) AS text_md5
+FROM pts"""
+
+
+# ---------------------------------------------------------------- assignment
+
+
+def q_assign_country(spark, sf_dir):
+    return assign_countries(spark, _extracted(spark, sf_dir), _index()).select(
+        "id", "country_id"
+    )
+
+
+SQL_ASSIGN_COUNTRY = f"""{_PTS_CTE}
+SELECT id, {sql_country_case()} AS country_id FROM pts"""
+
+
+def q_assign_counts(spark, sf_dir):
+    return (
+        assign_countries(spark, _extracted(spark, sf_dir), _index())
+        .groupBy("country_id")
+        .agg(F.count("*").alias("n_pages"))
+    )
+
+
+SQL_ASSIGN_COUNTS = f"""{_PTS_CTE}
+SELECT {sql_country_case()} AS country_id, count(*) AS n_pages
+FROM pts GROUP BY 1"""
+
+
+def q_checkpoint_restore(spark, sf_dir):
+    """J6 semantics: a checkpoint supplies country for id%5==0 rows; the
+    engine computes only the remainder and coalesces. Output must equal a
+    full run (resume ≡ full-run invariant)."""
+    ext = _extracted(spark, sf_dir)
+    index = _index()
+    full = assign_countries(spark, ext, index).select("id", "country_id")
+    checkpoint = full.where(F.col("id") % 5 == 0)
+    rest = ext.join(checkpoint.select("id"), "id", "left_anti")
+    computed = assign_countries(spark, rest, index).select("id", "country_id")
+    return checkpoint.unionByName(computed)
+
+
+def q_incremental_scan(spark, sf_dir):
+    """S2/P4: watermark-bounded incremental slice — only pages newer than
+    the cutoff are assigned (snapshot-scan analog)."""
+    ext = _extracted(spark, sf_dir).where(F.col("warc_ts") > F.lit("2024-01-05 00:00:00"))
+    return assign_countries(spark, ext, _index()).select("id", "country_id")
+
+
+SQL_INCREMENTAL_SCAN = f"""{_PTS_CTE}
+SELECT id, {sql_country_case()} AS country_id FROM pts
+WHERE ts > TIMESTAMP '2024-01-05 00:00:00'"""
+
+
+# ---------------------------------------------------------------- tiles
+
+_TILE_X = "CAST(LEAST(GREATEST(floor((lon_e6/1000000.0 + 180)/360 * {n}), 0), {n}-1) AS BIGINT)"
+_TILE_Y = (
+    "CAST(LEAST(GREATEST(floor((1 - ln(tan(radians(LEAST(GREATEST(lat_e6/1000000.0, -85.05112878), 85.05112878)))"
+    " + 1/cos(radians(LEAST(GREATEST(lat_e6/1000000.0, -85.05112878), 85.05112878))))/pi())/2 * {n}), 0), {n}-1) AS BIGINT)"
+)
+
+
+def q_tiles_z4(spark, sf_dir):
+    """Rolled up from z6 through the parent-sum path (proves the pyramid),
+    compared against a direct z4 binning oracle."""
+    pts = _extracted(spark, sf_dir).where(F.col("has_coords"))
+    return tile_counts(pts, max_zoom=6, min_zoom=4).where(F.col("z") == 4).select("z", "x", "y", "cnt")
+
+
+SQL_TILES_Z4 = f"""{_PTS_CTE}
+SELECT 4 AS z, {_TILE_X.format(n=16)} AS x, {_TILE_Y.format(n=16)} AS y, count(*) AS cnt
+FROM pts WHERE u < 90000
+GROUP BY 1, 2, 3"""
+
+
+def q_tiles_by_year(spark, sf_dir):
+    """A7: the WMS year-bucket dimension (prepareDatabase.sql:33-40)."""
+    pts = (
+        _extracted(spark, sf_dir)
+        .where(F.col("has_coords"))
+        .withColumn("year_ts", F.year("warc_ts").cast("long"))
+    )
+    return tile_counts(pts, max_zoom=3, min_zoom=3, extra_dims=("year_ts",)).select(
+        "z", "x", "y", "year_ts", "cnt"
+    )
+
+
+SQL_TILES_BY_YEAR = f"""{_PTS_CTE}
+SELECT 3 AS z, {_TILE_X.format(n=8)} AS x, {_TILE_Y.format(n=8)} AS y,
+       EXTRACT(YEAR FROM ts) AS year_ts, count(*) AS cnt
+FROM pts WHERE u < 90000
+GROUP BY 1, 2, 3, 4"""
+
+
+# ---------------------------------------------------------------- knn
+
+_KNN_QUERIES = [(1, 35.0, -100.0), (2, 0.0, 60.0), (3, -5.0, 179.9)]
+
+
+def q_knn(spark, sf_dir):
+    pts = _extracted(spark, sf_dir).where(F.col("has_coords"))
+    return knn(spark, pts, _KNN_QUERIES, k=5, level=6).select(
+        "query_id", F.col("rank").cast("long").alias("rank"), "id", "d2"
+    )
+
+
+SQL_KNN = f"""{_PTS_CTE},
+q(query_id, qlat, qlon) AS (VALUES (1, 35000000, -100000000), (2, 0, 60000000), (3, -5000000, 179900000)),
+d AS (
+  SELECT q.query_id, pts.id,
+         (pts.lat_e6 - q.qlat)*(pts.lat_e6 - q.qlat)
+         + LEAST(ABS(pts.lon_e6 - q.qlon), 360000000 - ABS(pts.lon_e6 - q.qlon))
+           * LEAST(ABS(pts.lon_e6 - q.qlon), 360000000 - ABS(pts.lon_e6 - q.qlon)) AS d2
+  FROM pts, q WHERE pts.u < 90000
+)
+SELECT query_id, rank, id, d2 FROM (
+  SELECT query_id, id, d2,
+         row_number() OVER (PARTITION BY query_id ORDER BY d2, id) AS rank
+  FROM d
+) WHERE rank <= 5"""
+
+
+QUERIES: dict[str, tuple] = {
+    "extract_coords": (q_extract_coords, SQL_EXTRACT_COORDS),
+    "extract_text_md5": (q_extract_text_md5, SQL_EXTRACT_TEXT_MD5),
+    "assign_country": (q_assign_country, SQL_ASSIGN_COUNTRY),
+    "assign_counts": (q_assign_counts, SQL_ASSIGN_COUNTS),
+    "checkpoint_restore": (q_checkpoint_restore, SQL_ASSIGN_COUNTRY),
+    "incremental_scan": (q_incremental_scan, SQL_INCREMENTAL_SCAN),
+    "tiles_z4": (q_tiles_z4, SQL_TILES_Z4),
+    "tiles_by_year": (q_tiles_by_year, SQL_TILES_BY_YEAR),
+    "knn": (q_knn, SQL_KNN),
+}

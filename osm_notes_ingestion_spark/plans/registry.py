@@ -1,0 +1,8 @@
+"""Central query registry: name → (spark_fn, oracle_sql | None)."""
+
+from __future__ import annotations
+
+from .queries_spatial import QUERIES as SPATIAL
+
+REGISTRY: dict[str, tuple] = {}
+REGISTRY.update(SPATIAL)
