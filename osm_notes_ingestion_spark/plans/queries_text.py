@@ -1,0 +1,302 @@
+"""Driver-gate queries: training-data ops (dedup / similarity / text).
+
+Corpus = documents ∪ planted near-duplicates (doc_id+100000, 5 words
+appended, doc_id%10=0) ∪ planted exact duplicates (doc_id+200000,
+doc_id%25=0) — deterministic and reconstructible in SQL, since the raw
+documents table contains no duplicates at all (verified at build time).
+
+Every hash is md5-derived (bit-identical across Spark and DuckDB), so
+even MinHash-LSH has an exact oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..operators.multimodal import extract_media_metadata
+from ..operators.similarity import cosine_topk, embedding_near_dups
+from ..operators.textops import (
+    LANG_MARKERS,
+    fingerprint,
+    jaccard_filter,
+    lang_id,
+    lsh_band_signatures,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    quality_features,
+    simhash,
+    word_shingles,
+)
+
+_APPEND = " zz yy xx qq pp"
+
+SQL_CORPUS = f"""corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL SELECT doc_id + 100000, text || '{_APPEND}' FROM documents WHERE doc_id % 10 = 0
+  UNION ALL SELECT doc_id + 200000, text FROM documents WHERE doc_id % 25 = 0
+)"""
+
+
+def _corpus(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    near = docs.where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(_APPEND)).alias("text"),
+    )
+    exact = docs.where(F.col("doc_id") % 25 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"), "text"
+    )
+    return docs.unionByName(near).unionByName(exact)
+
+
+# ------------------------------------------------------------- exact dedup
+
+
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup: canonical (min) doc id per text hash."""
+    c = _corpus(spark, sf_dir)
+    return (
+        c.withColumn("text_md5", F.md5(F.encode("text", "UTF-8")))
+        .groupBy("text_md5")
+        .agg(F.min("doc_id").alias("canonical_id"), F.count("*").alias("n_copies"))
+    )
+
+
+SQL_DEDUP_EXACT = f"""WITH {SQL_CORPUS}
+SELECT md5(text) AS text_md5, min(doc_id) AS canonical_id, count(*) AS n_copies
+FROM corpus GROUP BY 1"""
+
+
+# ------------------------------------------------------- exact jaccard dedup
+
+_SQL_SHINGLES = """shingles AS (
+  SELECT DISTINCT doc_id, s AS shingle FROM (
+    SELECT doc_id, unnest(list_transform(range(1, len(string_split(text, ' ')) - 1),
+           i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2])) AS s
+    FROM corpus)
+)"""
+
+
+def q_dedup_jaccard(spark, sf_dir):
+    """All-pairs word-3-gram Jaccard ≥ 0.8 (exact baseline)."""
+    c = _corpus(spark, sf_dir)
+    sh = word_shingles(c)
+    all_pairs = (
+        sh.select(F.col("doc_id").alias("id_a"))
+        .distinct()
+        .crossJoin(sh.select(F.col("doc_id").alias("id_b")).distinct())
+        .where(F.col("id_a") < F.col("id_b"))
+    )
+    return jaccard_filter(all_pairs, sh, threshold=0.8)
+
+
+SQL_DEDUP_JACCARD = f"""WITH {SQL_CORPUS}, {_SQL_SHINGLES},
+sizes AS (SELECT doc_id, count(*) AS sz FROM shingles GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+  FROM shingles a JOIN shingles b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b FROM inter
+JOIN sizes za ON za.doc_id = id_a JOIN sizes zb ON zb.doc_id = id_b
+WHERE CAST(i AS DOUBLE) / (za.sz + zb.sz - i) >= 0.8"""
+
+
+# ------------------------------------------------------------- minhash LSH
+
+_SQL_MINHASH = """mh AS (
+  SELECT doc_id, hid, min(('0x' || substr(md5(hid || ':' || shingle), 1, 15))::BIGINT) AS mh
+  FROM shingles, range(16) r(hid) GROUP BY 1, 2
+), bands AS (
+  SELECT doc_id, CAST(hid // 4 AS INT) AS band,
+         string_agg(CAST(mh AS VARCHAR), '-' ORDER BY hid) AS bandsig
+  FROM mh GROUP BY 1, 2
+), cands AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.bandsig = b.bandsig AND a.doc_id < b.doc_id
+)"""
+
+
+def q_dedup_minhash_lsh(spark, sf_dir):
+    """MinHash(16) → LSH(4 bands × 4 rows) candidates → exact-Jaccard
+    verification ≥ 0.8. Deterministic end to end (md5 hashing)."""
+    c = _corpus(spark, sf_dir)
+    sh = word_shingles(c)
+    sigs = minhash_signatures(sh, n_hashes=16)
+    cands = lsh_candidate_pairs(lsh_band_signatures(sigs, rows_per_band=4))
+    return jaccard_filter(cands, sh, threshold=0.8)
+
+
+SQL_DEDUP_MINHASH = f"""WITH {SQL_CORPUS}, {_SQL_SHINGLES}, {_SQL_MINHASH},
+sizes AS (SELECT doc_id, count(*) AS sz FROM shingles GROUP BY 1),
+inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS i
+  FROM cands c JOIN shingles a ON a.doc_id = c.id_a JOIN shingles b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b FROM inter
+JOIN sizes za ON za.doc_id = id_a JOIN sizes zb ON zb.doc_id = id_b
+WHERE CAST(i AS DOUBLE) / (za.sz + zb.sz - i) >= 0.8"""
+
+
+# ----------------------------------------------------------------- simhash
+
+
+def q_simhash(spark, sf_dir):
+    return simhash(_corpus(spark, sf_dir))
+
+
+def _sql_simhash_bits(bits: int = 16) -> str:
+    sums = ", ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}" for b in range(bits)
+    )
+    sig = " + ".join(f"(CASE WHEN b{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(bits))
+    return f"""toks AS (
+  SELECT DISTINCT doc_id, t AS tok FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM corpus)
+), th AS (
+  SELECT doc_id, ('0x' || substr(md5(tok), 1, 4))::BIGINT AS h FROM toks
+), bitsums AS (
+  SELECT doc_id, {sums} FROM th GROUP BY doc_id
+)
+SELECT doc_id, CAST({sig} AS BIGINT) AS simhash FROM bitsums"""
+
+
+SQL_SIMHASH = f"WITH {SQL_CORPUS}, {_sql_simhash_bits()}"
+
+
+# ----------------------------------------------------------- language / QA
+
+
+def q_lang_id(spark, sf_dir):
+    return lang_id(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+def _sql_lang_id() -> str:
+    cnt = {
+        lang: f"CAST((length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' {w} ', ''))) / {len(w) + 2} AS BIGINT)"
+        for lang, w in LANG_MARKERS
+    }
+    langs = [lang for lang, _ in LANG_MARKERS]
+    case = ""
+    for i, lang in enumerate(langs[:-1]):
+        conds = []
+        for j, other in enumerate(langs):
+            if j == i:
+                continue
+            op = ">=" if j > i else ">"
+            conds.append(f"c_{lang} {op} c_{other}")
+        case += f"WHEN {' AND '.join(conds)} THEN '{lang}' "
+    scores = ", ".join(f"{expr} AS c_{lang}" for lang, expr in cnt.items())
+    return f"""WITH scored AS (SELECT doc_id, {scores} FROM documents)
+SELECT doc_id, CASE {case}ELSE '{langs[-1]}' END AS lang_guess FROM scored"""
+
+
+SQL_LANG_ID = _sql_lang_id()
+
+
+def q_quality(spark, sf_dir):
+    return quality_features(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+SQL_QUALITY = """SELECT doc_id,
+  CAST(length(text) AS BIGINT) AS n_chars,
+  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct_tokens,
+  CAST(floor(len(list_distinct(string_split(text, ' '))) * 100 / len(string_split(text, ' '))) AS BIGINT) AS uniq_pct,
+  CAST(ceil(length(text) / 4.0) AS BIGINT) AS est_bpe_tokens
+FROM documents"""
+
+
+def q_fingerprint(spark, sf_dir):
+    return fingerprint(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+SQL_FINGERPRINT = """WITH grams AS (
+  SELECT doc_id, substr(text, i, 8) AS g
+  FROM documents, LATERAL unnest(range(1, greatest(length(text) - 6, 2))) t(i)
+)
+SELECT doc_id, min(('0x' || substr(md5(g), 1, 15))::BIGINT) AS fingerprint
+FROM grams GROUP BY 1"""
+
+
+# ------------------------------------------------------------- embeddings
+
+
+def q_embed_topk(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    return cosine_topk(emb, queries, k=5)
+
+
+SQL_EMBED_TOPK = """WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 3
+), scored AS (
+  SELECT q.query_id, e.vec_id,
+         round(list_dot_product(e.embedding::DOUBLE[], q.qv)
+               / sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])
+                      * list_dot_product(q.qv, q.qv)), 6) AS cos6
+  FROM embeddings e, q
+)
+SELECT query_id, rank, vec_id, cos6 FROM (
+  SELECT query_id, vec_id, cos6,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos6 DESC, vec_id) AS rank
+  FROM scored
+) WHERE rank <= 5"""
+
+
+def q_embed_neardup(spark, sf_dir):
+    """Near-dup pairs over embeddings ∪ planted exact-scaled copies
+    (vec_id+100000, 2× scaling ⇒ cosine exactly 1)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select("vec_id", "embedding")
+    planted = emb.where(F.col("vec_id") % 50 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(F.col("embedding").cast("array<double>"), lambda x: x * 2.0).alias("embedding"),
+    )
+    corpus = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("embedding")).unionByName(planted)
+    return embedding_near_dups(corpus, threshold=0.999)
+
+
+SQL_EMBED_NEARDUP = """WITH corpus AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000, list_transform(embedding::DOUBLE[], x -> x * 2.0)
+  FROM embeddings WHERE vec_id % 50 = 0
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b
+FROM corpus a, corpus b
+WHERE a.vec_id < b.vec_id
+  AND list_dot_product(a.v, b.v) / sqrt(list_dot_product(a.v, a.v) * list_dot_product(b.v, b.v)) > 0.999"""
+
+
+# ------------------------------------------------------------- multimodal
+
+
+def q_multimodal_meta(spark, sf_dir):
+    """Binary-payload metadata extraction (decode stubbed, plumbing real)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    return extract_media_metadata(docs)
+
+
+SQL_MULTIMODAL_META = """SELECT doc_id,
+  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+  CAST(160 + ('0x' || substr(md5(text), 1, 6))::BIGINT % 1920 AS BIGINT) AS width,
+  CAST(120 + ('0x' || substr(md5(text), 7, 6))::BIGINT % 1080 AS BIGINT) AS height
+FROM documents"""
+
+
+QUERIES: dict[str, tuple] = {
+    "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    "dedup_jaccard": (q_dedup_jaccard, SQL_DEDUP_JACCARD),
+    "dedup_minhash_lsh": (q_dedup_minhash_lsh, SQL_DEDUP_MINHASH),
+    "simhash": (q_simhash, SQL_SIMHASH),
+    "lang_id": (q_lang_id, SQL_LANG_ID),
+    "quality_features": (q_quality, SQL_QUALITY),
+    "fingerprint": (q_fingerprint, SQL_FINGERPRINT),
+    "embed_topk": (q_embed_topk, SQL_EMBED_TOPK),
+    "embed_neardup": (q_embed_neardup, SQL_EMBED_NEARDUP),
+    "multimodal_meta": (q_multimodal_meta, SQL_MULTIMODAL_META),
+}
