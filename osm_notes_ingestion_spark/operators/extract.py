@@ -42,10 +42,7 @@ EXTRACT_SCHEMA = (
 
 def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in batches:
-        # lenient decode: real crawl data contains invalid UTF-8; replacement
-        # never alters valid pages, so the byte-identity invariant holds
-        html = pdf["html"].apply(lambda b: b.decode("utf-8", "replace"))
-        html = pd.Series(html, dtype="string")
+        html = pd.Series(pdf["html"], dtype="string")
 
         coords = html.str.extract(_META_RE)
         for pat in (_DIV_RE, _SPAN_RE):
@@ -88,8 +85,15 @@ def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
 
 def extract_pages(pages: DataFrame) -> DataFrame:
-    """pages(id,url,warc_ts,html,lang) → extracted rows (see EXTRACT_SCHEMA)."""
-    return pages.mapInPandas(_extract_batches, schema=EXTRACT_SCHEMA)
+    """pages(id,url,warc_ts,html,lang) → extracted rows (see EXTRACT_SCHEMA).
+
+    The UTF-8 decode happens JVM-side (F.decode with replacement for
+    malformed bytes — real crawl data contains invalid UTF-8; replacement
+    never alters valid pages so the byte-identity invariant holds), so the
+    Arrow batches carry strings and the Python side never loops per row.
+    """
+    decoded = pages.withColumn("html", F.decode("html", "UTF-8"))
+    return decoded.mapInPandas(_extract_batches, schema=EXTRACT_SCHEMA)
 
 
 def extraction_metrics(extracted: DataFrame) -> DataFrame:

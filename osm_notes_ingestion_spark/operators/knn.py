@@ -40,12 +40,15 @@ def knn(
     lon_col: str = "lon",
 ) -> DataFrame:
     """→ (query_id, rank, id, d2) — the k nearest points per query."""
+    # the projected point index (id, µdeg coords, cell) is what a real
+    # deployment materializes as a table; the ring-expansion loop may scan
+    # it several times, so cache the projection — never the raw pages
     pts = points.where(F.col(lat_col).isNotNull()).select(
         F.col(id_col).alias("id"),
         F.round(F.col(lat_col) * 1e6).cast("long").alias("plat"),
         F.round(F.col(lon_col) * 1e6).cast("long").alias("plon"),
         cell_col(F.col(lat_col), F.col(lon_col), level).alias("cell"),
-    )
+    ).cache()
     n = 1 << level
     cell_h_e6 = 180.0 / n * 1e6
 
