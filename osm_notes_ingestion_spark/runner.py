@@ -1,0 +1,123 @@
+"""spark-submit entry point: the engine's batch job runner.
+
+Usage (north rule: `spark-submit --py-files <zip> runner.py ...`):
+
+    spark-submit --master local[32] \
+        --py-files osm_notes_ingestion_spark.zip \
+        osm_notes_ingestion_spark/runner.py \
+        --job assign --sf-dir /root/testdata/sf0.1 --output /tmp/out \
+        [--fanout 6] [--resume] [--snapshot-root /tmp/snaps] [--max-zoom 8]
+
+Jobs:
+    assign — pages → extract → country assignment (+ metrics + lineage)
+    tiles  — assignment → z/x/y pyramid
+    knn    — k nearest pages for --query-points "id:lat:lon,..."
+    incremental — watermark-bounded batch into the snapshot store
+
+Writes parquet outputs under --output and metrics under --output/metrics.
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+import uuid
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="osm_notes_ingestion_spark runner")
+    p.add_argument("--job", required=True, choices=["assign", "tiles", "knn", "incremental"])
+    p.add_argument("--sf-dir", required=True)
+    p.add_argument("--output", required=True)
+    p.add_argument("--fanout", type=int, default=1)
+    p.add_argument("--cover-level", type=int, default=9)
+    p.add_argument("--max-zoom", type=int, default=8)
+    p.add_argument("--min-zoom", type=int, default=0)
+    p.add_argument("--k", type=int, default=5)
+    p.add_argument("--query-points", default="1:35.0:-100.0")
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--snapshot-root", default=None)
+    return p
+
+
+def main(argv: list[str] | None = None) -> None:
+    args = build_parser().parse_args(argv)
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    from .operators.extract import extract_pages, extraction_metrics
+    from .operators.knn import knn
+    from .operators.metrics import MetricsLog, partition_lineage
+    from .operators.spatial_join import assign_countries, assignment_metrics
+    from .operators.tiles import tile_counts
+    from .sources.checkpoint import SnapshotStore, resume_assignments
+    from .sources.polygons import prep_polygons
+    from .sources.synth import pages_df, world_polygons
+
+    # spark-submit owns the session config (master/executors); only fill
+    # engine-required settings if absent
+    spark = (
+        SparkSession.builder.appName(f"osm_notes_ingestion_spark-{args.job}")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+    )
+
+    run_id = f"{args.job}-{uuid.uuid4().hex[:8]}"
+    mlog = MetricsLog(f"{args.output}/metrics")
+    t0 = time.perf_counter()
+
+    pages = pages_df(spark, args.sf_dir, fanout=args.fanout)
+    ext = extract_pages(pages)
+    index = prep_polygons(world_polygons(), level=args.cover_level)
+
+    if args.job == "assign":
+        if args.resume:
+            store = SnapshotStore(args.snapshot_root or f"{args.output}/snapshots")
+            assigned = resume_assignments(spark, ext, index, store, verify_sample_mod=100)
+            assigned.write.mode("overwrite").parquet(f"{args.output}/assignments")
+            store.write_snapshot(spark.read.parquet(f"{args.output}/assignments"))
+        else:
+            assigned = assign_countries(spark, ext, index)
+            assigned.write.mode("overwrite").parquet(f"{args.output}/assignments")
+            mlog.log_stage(run_id, "assignment_metrics", assignment_metrics(assigned))
+            mlog.log_stage(run_id, "lineage", partition_lineage(assigned))
+        mlog.log_stage(run_id, "extraction_metrics", extraction_metrics(ext))
+    elif args.job == "tiles":
+        assigned = assign_countries(spark, ext, index)
+        tiles = tile_counts(
+            assigned.where(F.col("lat").isNotNull()), max_zoom=args.max_zoom, min_zoom=args.min_zoom
+        )
+        tiles.write.mode("overwrite").parquet(f"{args.output}/tiles")
+        mlog.log_stage(run_id, "lineage", partition_lineage(tiles, ("z",)))
+    elif args.job == "knn":
+        queries = [
+            (int(q.split(":")[0]), float(q.split(":")[1]), float(q.split(":")[2]))
+            for q in args.query_points.split(",")
+        ]
+        res = knn(spark, ext.where(F.col("has_coords")), queries, k=args.k)
+        res.write.mode("overwrite").parquet(f"{args.output}/knn")
+    elif args.job == "incremental":
+        from .streaming.incremental import IncrementalRunner
+
+        store = SnapshotStore(args.snapshot_root or f"{args.output}/snapshots")
+        runner = IncrementalRunner(spark, index, store)
+        result = runner.run_batch(pages)
+        mlog.log_counters(
+            run_id,
+            "incremental",
+            {
+                "n_input": result.n_input,
+                "n_assigned": result.n_assigned,
+                "advanced": result.advanced,
+                "full_resync": result.full_resync,
+            },
+        )
+
+    mlog.log_counters(run_id, "wall_clock", {"sec": round(time.perf_counter() - t0, 3)})
+    print(f"{run_id} done in {time.perf_counter() - t0:.2f}s → {args.output}")
+
+
+if __name__ == "__main__":
+    main()

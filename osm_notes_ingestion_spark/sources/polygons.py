@@ -94,14 +94,55 @@ def cover_df(spark: SparkSession, index: PolygonIndex) -> DataFrame:
 
 
 def candidates_df(spark: SparkSession, index: PolygonIndex) -> DataFrame:
-    """cell → priority-sorted candidate array (what gets broadcast)."""
-    return (
-        cover_df(spark, index)
-        .groupBy("cell")
-        .agg(
-            F.sort_array(F.collect_list(F.struct("priority", "country_id", "full"))).alias("cands")
+    """cell → priority-sorted candidate array (what gets broadcast).
+
+    Aggregated DRIVER-SIDE with numpy (the cover is driver-resident
+    already): the Spark plan then contains zero exchanges — a
+    LocalTableScan straight into BroadcastExchange. A groupBy here would
+    put a (tiny but pointless) shuffle into every assignment job.
+    """
+    import numpy as np
+
+    order = np.lexsort((index.country_ids, index.priorities, index.cells))
+    cells = index.cells[order]
+    prios = index.priorities[order]
+    cids = index.country_ids[order]
+    fulls = index.fulls[order]
+    if len(cells) == 0:
+        starts = ends = np.zeros(0, dtype=np.int64)
+    else:
+        bounds = np.flatnonzero(np.diff(cells)) + 1
+        starts = np.concatenate(([0], bounds))
+        ends = np.concatenate((bounds, [len(cells)]))
+    rows = [
+        (
+            int(cells[s]),
+            [
+                (int(prios[i]), int(cids[i]), bool(fulls[i]))
+                for i in range(s, e)
+            ],
         )
+        for s, e in zip(starts, ends)
+    ]
+    schema = T.StructType(
+        [
+            T.StructField("cell", T.LongType(), False),
+            T.StructField(
+                "cands",
+                T.ArrayType(
+                    T.StructType(
+                        [
+                            T.StructField("priority", T.LongType(), False),
+                            T.StructField("country_id", T.LongType(), False),
+                            T.StructField("full", T.BooleanType(), False),
+                        ]
+                    )
+                ),
+                False,
+            ),
+        ]
     )
+    return spark.createDataFrame(rows, schema=schema)
 
 
 def hot_cells(index: PolygonIndex, lat: np.ndarray, lon: np.ndarray, top_n: int = 16) -> np.ndarray:

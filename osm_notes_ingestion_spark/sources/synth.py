@@ -170,6 +170,11 @@ def pages_df(spark: SparkSession, sf_dir: str, fanout: int = 1) -> DataFrame:
     byte-identically (input_hint invariant).
     """
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # small source files plan to 1-2 splits; without this the whole
+    # downstream map-only pipeline (html synth → extraction → assignment)
+    # runs on a fraction of the cluster. A real crawl table has thousands
+    # of files and never needs it; a bootstrap from a small seed does.
+    ev = ev.repartition(spark.sparkContext.defaultParallelism)
     if fanout > 1:
         ev = ev.withColumn("_i", F.explode(F.sequence(F.lit(0), F.lit(fanout - 1)))).withColumn(
             "id", F.col("event_id") * fanout + F.col("_i")

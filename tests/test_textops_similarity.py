@@ -1,0 +1,126 @@
+"""Training-data ops: planted-duplicate recovery, SRP bucketing recall,
+multimodal plumbing, quality/fingerprint sanity."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from osm_notes_ingestion_spark.operators.multimodal import extract_media_metadata
+from osm_notes_ingestion_spark.operators.similarity import (
+    cosine_topk,
+    embedding_near_dups,
+    srp_bucket,
+)
+from osm_notes_ingestion_spark.operators.textops import (
+    jaccard_filter,
+    lsh_band_signatures,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    simhash,
+    word_shingles,
+)
+
+SF = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    near = docs.where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat("text", F.lit(" zz yy xx")).alias("text"),
+    )
+    return docs.unionByName(near).cache()
+
+
+def test_minhash_lsh_finds_planted_dups(spark, corpus):
+    sh = word_shingles(corpus).cache()
+    sigs = minhash_signatures(sh)
+    cands = lsh_candidate_pairs(lsh_band_signatures(sigs))
+    verified = jaccard_filter(cands, sh, threshold=0.8).toPandas()
+    got = {(a, b) for a, b in zip(verified["id_a"], verified["id_b"])}
+
+    # exact all-pairs baseline (the corpus contains NATURAL near-dup pairs
+    # besides the planted ones; a short planted doc can fall below 0.8)
+    ids = sh.select(F.col("doc_id").alias("id_a")).distinct()
+    all_pairs = ids.crossJoin(sh.select(F.col("doc_id").alias("id_b")).distinct()).where(
+        F.col("id_a") < F.col("id_b")
+    )
+    exact = jaccard_filter(all_pairs, sh, threshold=0.8).toPandas()
+    expected = {(a, b) for a, b in zip(exact["id_a"], exact["id_b"])}
+
+    assert got == expected  # LSH+verify ≡ exact (no false pos/neg here)
+    # long planted dups must be recovered
+    long_planted = {
+        (i, i + 100000)
+        for i in range(0, 500, 10)
+        if (i, i + 100000) in expected
+    }
+    assert long_planted and long_planted <= got
+    assert len(got) >= 40
+
+
+def test_simhash_near_for_near_dups(spark, corpus):
+    sig = simhash(corpus).toPandas().set_index("doc_id")["simhash"]
+    # near-dup pairs should differ in few bits; random pairs in many
+    ham = lambda a, b: bin(int(a) ^ int(b)).count("1")  # noqa: E731
+    near = [ham(sig[i], sig[i + 100000]) for i in range(0, 500, 10)]
+    rand = [ham(sig[i], sig[j]) for i, j in [(1, 2), (3, 4), (5, 6), (7, 8), (9, 11)]]
+    assert np.mean(near) < np.mean(rand)
+    # short docs: 3 appended tokens can flip several of only 16 bits
+    assert max(near) <= 6
+
+
+def test_srp_bucket_groups_scaled_copies(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    copies = emb.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * 3.0).alias("embedding"),
+    )
+    b = srp_bucket(emb.unionByName(copies)).toPandas().set_index("vec_id")["srp_bucket"]
+    # positive scaling never flips a sign projection → identical buckets
+    for vid in range(0, 500, 25):
+        assert b[vid] == b[vid + 100000]
+
+
+def test_cosine_topk_self_is_rank1(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    res = cosine_topk(emb, queries, k=3).toPandas()
+    r1 = res[res["rank"] == 1]
+    assert (r1["vec_id"].values == r1["query_id"].values).all()
+    assert (r1["cos6"] == 1.0).all()
+
+
+def test_embedding_near_dups_only_planted(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    planted = emb.where(F.col("vec_id") % 100 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * 2.0).alias("embedding"),
+    )
+    pairs = embedding_near_dups(emb.unionByName(planted), threshold=0.999).toPandas()
+    got = {(a, b) for a, b in zip(pairs["id_a"], pairs["id_b"])}
+    assert got == {(i, i + 100000) for i in range(0, 500, 100)}
+
+
+def test_multimodal_metadata_plumbing(spark):
+    docs = spark.createDataFrame(
+        [(1, b"\x89PNG fake header"), (2, b""), (3, bytes(range(256)))],
+        "doc_id long, payload binary",
+    )
+    meta = extract_media_metadata(docs).toPandas().set_index("doc_id")
+    assert meta.loc[1, "n_bytes"] == 16
+    assert meta.loc[2, "n_bytes"] == 0
+    assert meta.loc[3, "n_bytes"] == 256
+    assert ((meta["width"] >= 160) & (meta["width"] < 160 + 1920)).all()
+    # deterministic across invocations
+    meta2 = extract_media_metadata(docs).toPandas().set_index("doc_id")
+    assert (meta == meta2).all().all()
