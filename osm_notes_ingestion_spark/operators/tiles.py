@@ -29,14 +29,42 @@ def tile_counts(
     lat_col: str = "lat",
     lon_col: str = "lon",
     extra_dims: tuple[str, ...] = (),
+    strategy: str = "pyramid",
 ) -> DataFrame:
     """(z, x, y, [extra_dims...], cnt) for every zoom in [min_zoom, max_zoom].
 
     extra_dims: optional grouping dimensions carried through every zoom —
     the analog of the reference's year_created_at/year_closed_at buckets
     (sql/wms/prepareDatabase.sql:33-40).
+
+    strategy:
+      "pyramid"  — aggregate once at max_zoom, derive parents by integer
+        shifts over the tiny tile table. Minimum shuffle volume; one
+        (cheap) stage per zoom level.
+      "exploded" — compute the finest tile JVM-side, explode each row to
+        all requested zooms, aggregate once. ONE stage total; map-side
+        partial aggregation caps the shuffle at (distinct tiles per
+        partition × zooms), so it stays scale-sane. Preferred when stage
+        scheduling latency dominates (interactive/small jobs).
+    Both produce identical results (asserted in tests).
     """
     pts = points.where(F.col(lat_col).isNotNull() & F.col(lon_col).isNotNull())
+    if strategy == "exploded":
+        zooms = list(range(min_zoom, max_zoom + 1))
+        fx = tile_x_col(F.col(lon_col), max_zoom)
+        fy = tile_y_col(F.col(lat_col), max_zoom)
+        exploded = pts.select(
+            F.explode(F.array(*[F.lit(z) for z in zooms])).alias("z"),
+            fx.alias("_x"),
+            fy.alias("_y"),
+            *[F.col(c) for c in extra_dims],
+        ).select(
+            "z",
+            F.expr(f"shiftright(_x, {max_zoom} - z)").alias("x"),
+            F.expr(f"shiftright(_y, {max_zoom} - z)").alias("y"),
+            *extra_dims,
+        )
+        return exploded.groupBy("z", "x", "y", *extra_dims).agg(F.count("*").alias("cnt"))
     finest = (
         pts.select(
             F.lit(max_zoom).alias("z"),

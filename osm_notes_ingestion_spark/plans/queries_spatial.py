@@ -195,8 +195,60 @@ SELECT query_id, rank, id, d2 FROM (
 ) WHERE rank <= 5"""
 
 
+def q_assign_country_salted(spark, sf_dir):
+    """The explicit shuffle+salt variant (assign_countries_partitioned) —
+    same oracle as the broadcast path; pins that skew handling doesn't
+    change semantics. Only coord-bearing pages (the variant's domain)."""
+    from ..operators.spatial_join import assign_countries_partitioned
+
+    ext = _extracted(spark, sf_dir).where(F.col("has_coords"))
+    return assign_countries_partitioned(spark, ext, _index(), salt_buckets=4).select(
+        "id", "country_id"
+    )
+
+
+SQL_ASSIGN_SALTED = f"""{_PTS_CTE}
+SELECT id, {sql_country_case()} AS country_id FROM pts WHERE u < 90000"""
+
+
+def q_assign_country_fused(spark, sf_dir):
+    """The fused single-Arrow-pass kernel — same oracle as the
+    declarative path (operators/fused.py)."""
+    from ..operators.fused import fused_extract_assign
+
+    return fused_extract_assign(spark, pages_df(spark, sf_dir), _index()).select(
+        "id", "country_id"
+    )
+
+
+def q_cube_counts(spark, sf_dir):
+    """CUBE aggregation coverage (grouping-sets family) over assignments:
+    counts by (country_id, lang) with all subtotal combinations."""
+    ext = _extracted(spark, sf_dir)
+    assigned = assign_countries(spark, ext, _index(), keep_cols=("lang",))
+    return (
+        assigned.where(F.col("country_id").isNotNull())
+        .cube("country_id", "lang")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+SQL_CUBE_COUNTS = f"""{_PTS_CTE},
+a AS (
+  SELECT id, {sql_country_case()} AS country_id,
+         (['en','es','de','fr','pt','ja'])[(id % 6) + 1] AS lang
+  FROM pts
+)
+SELECT country_id, lang, count(*) AS n FROM a
+WHERE country_id IS NOT NULL
+GROUP BY CUBE (country_id, lang)"""
+
+
 QUERIES: dict[str, tuple] = {
     "extract_coords": (q_extract_coords, SQL_EXTRACT_COORDS),
+    "assign_country_salted": (q_assign_country_salted, SQL_ASSIGN_SALTED),
+    "assign_country_fused": (q_assign_country_fused, SQL_ASSIGN_COUNTRY),
+    "cube_counts": (q_cube_counts, SQL_CUBE_COUNTS),
     "extract_text_md5": (q_extract_text_md5, SQL_EXTRACT_TEXT_MD5),
     "assign_country": (q_assign_country, SQL_ASSIGN_COUNTRY),
     "assign_counts": (q_assign_counts, SQL_ASSIGN_COUNTS),

@@ -63,3 +63,11 @@ def test_knn_wraps_antimeridian(spark):
     )
     res = knn(spark, pdf, [(9, 0.0, 179.995)], k=2, level=4).toPandas()
     assert set(res["id"]) == {1, 2}
+
+
+def test_exploded_strategy_equals_pyramid(pts):
+    a = tile_counts(pts, max_zoom=6, min_zoom=2).toPandas()
+    b = tile_counts(pts, max_zoom=6, min_zoom=2, strategy="exploded").toPandas()
+    ka = a.set_index(["z", "x", "y"])["cnt"].sort_index()
+    kb = b.set_index(["z", "x", "y"])["cnt"].sort_index()
+    assert ka.equals(kb)
