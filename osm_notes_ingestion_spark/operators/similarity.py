@@ -117,3 +117,67 @@ def srp_bucket(df: DataFrame, vec_col: str = "embedding", bits: int = 8) -> Data
     for t in terms[1:]:
         bucket = bucket + t
     return df.withColumn("srp_bucket", bucket.cast("long"))
+
+
+def cosine_topk_bucketed(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    bits: int = 8,
+    hamming_radius: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "qvec",
+) -> DataFrame:
+    """Approximate top-k: probe only SRP buckets within `hamming_radius`
+    of the query's bucket, then exact cosine on the candidates.
+
+    The scale path: corpus is bucketed once (srp_bucket as partition/sort
+    key → Iceberg min-max file pruning); a probe touches ~Σ C(bits,i)
+    of 2^bits buckets. Approximate — recall measured in tests; raise
+    hamming_radius (or fall back to cosine_topk) when recall matters more
+    than cost. Output schema matches cosine_topk.
+    """
+    c = srp_bucket(
+        corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).cast("array<double>").alias("v")),
+        vec_col="v",
+        bits=bits,
+    )
+    q = srp_bucket(
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.col(query_vec_col).cast("array<double>").alias("qv"),
+        ),
+        vec_col="qv",
+        bits=bits,
+    ).withColumnRenamed("srp_bucket", "qbucket")
+
+    # probe set per query: all buckets within hamming_radius (driver-side
+    # table of (qbucket, srp_bucket) pairs — ≤ 2^bits × Σ C(bits,i) rows)
+    spark = corpus.sparkSession
+    import itertools
+
+    rows = []
+    for qb in range(1 << bits):
+        cands = set()
+        for r in range(hamming_radius + 1):
+            for flips in itertools.combinations(range(bits), r):
+                b = qb
+                for f in flips:
+                    b ^= 1 << f
+                cands.add(b)
+        rows.extend((qb, cb) for cb in sorted(cands))
+    probe = spark.createDataFrame(rows, "qbucket long, srp_bucket long")
+
+    cand = (
+        q.join(F.broadcast(probe), "qbucket")
+        .join(c, "srp_bucket")
+        .select("query_id", "vec_id", F.round(cosine(F.col("v"), F.col("qv")), 6).alias("cos6"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos6"), "vec_id")
+    return (
+        cand.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", "cos6")
+    )

@@ -124,3 +124,23 @@ def test_multimodal_metadata_plumbing(spark):
     # deterministic across invocations
     meta2 = extract_media_metadata(docs).toPandas().set_index("doc_id")
     assert (meta == meta2).all().all()
+
+
+def test_bucketed_ann_recall(spark):
+    from osm_notes_ingestion_spark.operators.similarity import cosine_topk_bucketed
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    exact = cosine_topk(emb, queries, k=5).toPandas()
+    approx = cosine_topk_bucketed(emb, queries, k=5, hamming_radius=2).toPandas()
+    exact_sets = exact.groupby("query_id")["vec_id"].apply(set)
+    approx_sets = approx.groupby("query_id")["vec_id"].apply(set)
+    recalls = [
+        len(exact_sets[q] & approx_sets.get(q, set())) / 5 for q in exact_sets.index
+    ]
+    # rank-1 (self) must always be found: identical vector → same bucket
+    r1 = approx[approx["rank"] == 1]
+    assert (r1["vec_id"].values == r1["query_id"].values).all()
+    assert sum(recalls) / len(recalls) >= 0.5, recalls
