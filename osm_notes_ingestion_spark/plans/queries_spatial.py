@@ -44,7 +44,13 @@ def _extracted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_pages(pages_df(spark, sf_dir))
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=1)
 def _index():
+    # build-time artifact (reference preps countries+grid once, not per
+    # query) — memoized so multi-query sessions don't re-cover polygons
     return prep_polygons(world_polygons(), level=9)
 
 

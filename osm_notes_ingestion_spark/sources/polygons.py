@@ -93,6 +93,13 @@ def cover_df(spark: SparkSession, index: PolygonIndex) -> DataFrame:
     return spark.createDataFrame(pdf, schema=_CAND_SCHEMA)
 
 
+# The candidate table is a build-time artifact (the reference preps its
+# countries table + priority grid once, not per query) — memoize the
+# driver-side row materialization per (session, index) so repeated
+# queries in one session don't re-serialize 46k nested rows each time.
+_CANDIDATES_CACHE: dict[tuple, DataFrame] = {}
+
+
 def candidates_df(spark: SparkSession, index: PolygonIndex) -> DataFrame:
     """cell → priority-sorted candidate array (what gets broadcast).
 
@@ -102,6 +109,11 @@ def candidates_df(spark: SparkSession, index: PolygonIndex) -> DataFrame:
     put a (tiny but pointless) shuffle into every assignment job.
     """
     import numpy as np
+
+    key = (spark.sparkContext.applicationId, id(index.cells), index.level)
+    cached = _CANDIDATES_CACHE.get(key)
+    if cached is not None:
+        return cached
 
     order = np.lexsort((index.country_ids, index.priorities, index.cells))
     cells = index.cells[order]
@@ -142,7 +154,9 @@ def candidates_df(spark: SparkSession, index: PolygonIndex) -> DataFrame:
             ),
         ]
     )
-    return spark.createDataFrame(rows, schema=schema)
+    df = spark.createDataFrame(rows, schema=schema)
+    _CANDIDATES_CACHE[key] = df
+    return df
 
 
 def hot_cells(index: PolygonIndex, lat: np.ndarray, lon: np.ndarray, top_n: int = 16) -> np.ndarray:
