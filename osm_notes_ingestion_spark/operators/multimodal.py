@@ -51,3 +51,59 @@ def extract_media_metadata(df: DataFrame, id_col: str = "doc_id", payload_col: s
             )
 
     return df.select(id_col, payload_col).mapInPandas(batches, schema=META_SCHEMA)
+
+
+RESIZE_SCHEMA = "doc_id long, width long, height long, resized_md5 string"
+
+
+def resize_media(
+    df: DataFrame, target_w: int, target_h: int, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """binary payload → resized payload at (target_w, target_h).
+
+    STUB decode/resample (a real deployment calls PIL.Image.resize /
+    ffmpeg scale here); the deterministic fake derives the resized bytes
+    from md5(payload ‖ "WxH") so the Arrow plumbing — bytes in, bytes
+    out, batch shape preserved — is exactly testable. Output carries the
+    md5 hex of the resized payload (stable to hash cross-engine)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        dims = f":{target_w}x{target_h}".encode()
+        for pdf in it:
+            resized = pdf[payload_col].apply(lambda p: hashlib.md5(bytes(p) + dims).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "width": target_w,
+                    "height": target_h,
+                    "resized_md5": resized,
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(batches, schema=RESIZE_SCHEMA)
+
+
+FRAMES_SCHEMA = "doc_id long, frame_idx long, frame_md5 string"
+
+
+def sample_frames(df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload") -> DataFrame:
+    """video payload → N frame rows (fan-out: 1 input row → many output
+    rows, the mapInPandas-as-UDTF shape — the analog of the reference's
+    AWK extractors emitting N rows per XML blob, awk/extract_comments.awk).
+
+    STUB frame decode; deterministically n_frames = 1 + n_bytes % 5 and
+    frame bytes = md5(payload ‖ idx). Real decode (ffmpeg frame grab)
+    would replace the md5 line only — the fan-out plumbing is real."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, idxs, hashes = [], [], []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                b = bytes(payload)
+                for i in range(1 + len(b) % 5):
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    hashes.append(hashlib.md5(b + f":{i}".encode()).hexdigest())
+            yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs, "frame_md5": hashes})
+
+    return df.select(id_col, payload_col).mapInPandas(batches, schema=FRAMES_SCHEMA)

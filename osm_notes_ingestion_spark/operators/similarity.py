@@ -119,6 +119,74 @@ def srp_bucket(df: DataFrame, vec_col: str = "embedding", bits: int = 8) -> Data
     return df.withColumn("srp_bucket", bucket.cast("long"))
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    nlist: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "qvec",
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k — the clustered scale path.
+
+    Centroids = the first `nlist` corpus vectors by id (deterministic
+    sampled-centroid bootstrap; a k-means refinement would slot in here
+    without changing the query path). Each corpus vector is assigned to
+    its nearest centroid by (cos6 DESC, centroid_id) — ONE broadcast
+    cross-score + partial-aggregatable max-struct argmax, no window sort.
+    A query probes its `nprobe` nearest centroids and scores only those
+    lists: at 10^12 rows `cent_id` is the partition/sort key, so a probe
+    reads nprobe/nlist of the corpus (Iceberg min-max file pruning), and
+    the candidate join is an equi join on cent_id.
+
+    Deterministic end to end (round-6 cosine, id tie-breaks) — the SQL
+    oracle mirrors the algorithm exactly. Output schema = cosine_topk.
+    """
+    c = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).cast("array<double>").alias("v"))
+    cents = (
+        c.where(F.col("vec_id") < nlist)
+        .select(F.col("vec_id").alias("cent_id"), F.col("v").alias("cv"))
+    )
+    # corpus → nearest centroid: argmax via max(struct) — map-side combinable
+    assigned = (
+        c.crossJoin(F.broadcast(cents))
+        .select(
+            "vec_id",
+            F.struct(
+                F.round(cosine(F.col("v"), F.col("cv")), 6).alias("cos6"),
+                (-F.col("cent_id")).alias("neg_cent"),
+            ).alias("m"),
+        )
+        .groupBy("vec_id")
+        .agg(F.max("m").alias("m"))
+        .select("vec_id", (-F.col("m.neg_cent")).alias("cent_id"))
+        .join(c, "vec_id")
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(query_vec_col).cast("array<double>").alias("qv")
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("ccos6"), "cent_id")
+    probes = (
+        q.crossJoin(F.broadcast(cents))
+        .select("query_id", "qv", "cent_id", F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("ccos6"))
+        .withColumn("prank", F.row_number().over(wq))
+        .where(F.col("prank") <= nprobe)
+        .select("query_id", "qv", "cent_id")
+    )
+    cand = assigned.join(F.broadcast(probes), "cent_id").select(
+        "query_id", "vec_id", F.round(cosine(F.col("v"), F.col("qv")), 6).alias("cos6")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos6"), "vec_id")
+    return (
+        cand.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", "cos6")
+    )
+
+
 def cosine_topk_bucketed(
     corpus: DataFrame,
     queries: DataFrame,

@@ -227,6 +227,42 @@ def q_assign_country_fused(spark, sf_dir):
     )
 
 
+@lru_cache(maxsize=1)
+def _index_midland_shrunk():
+    """The boundary-refresh scenario: Midland (id 2) shrinks to a sliver
+    (updateCountries.sh monthly-refresh analog)."""
+    import copy
+
+    from ..sources.synth import _rect
+
+    polys2 = copy.deepcopy(world_polygons())
+    for p in polys2:
+        if p["country_id"] == 2:
+            p["rings"] = [_rect(6, 47, 8, 49)]
+    return prep_polygons(polys2, level=9)
+
+
+def q_reassign_changed(spark, sf_dir):
+    """J7 (updateCountries.sh:246-304): after a boundary refresh, re-join
+    ONLY points whose cell intersects the changed polygon's old/new cover;
+    everyone else keeps their checkpointed assignment. The invariant —
+    incremental result ≡ full recompute on the new world — is exactly what
+    the oracle states (full new-world assignment in SQL)."""
+    from ..sources.checkpoint import reassign_changed_polygons
+
+    ext = _extracted(spark, sf_dir)
+    old_index, new_index = _index(), _index_midland_shrunk()
+    old_assign = assign_countries(spark, ext, old_index).select("id", "country_id")
+    return reassign_changed_polygons(spark, ext, old_assign, old_index, new_index, [2])
+
+
+SQL_REASSIGN_CHANGED = f"""{_PTS_CTE}
+SELECT id, {sql_country_case()
+    .replace("BETWEEN 6000000 AND 15000000", "BETWEEN 6000000 AND 8000000")
+    .replace("BETWEEN 47000000 AND 55000000", "BETWEEN 47000000 AND 49000000")} AS country_id
+FROM pts"""
+
+
 def q_cube_counts(spark, sf_dir):
     """CUBE aggregation coverage (grouping-sets family) over assignments:
     counts by (country_id, lang) with all subtotal combinations."""
@@ -263,4 +299,5 @@ QUERIES: dict[str, tuple] = {
     "tiles_z4": (q_tiles_z4, SQL_TILES_Z4),
     "tiles_by_year": (q_tiles_by_year, SQL_TILES_BY_YEAR),
     "knn": (q_knn, SQL_KNN),
+    "reassign_changed": (q_reassign_changed, SQL_REASSIGN_CHANGED),
 }

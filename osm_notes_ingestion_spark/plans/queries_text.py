@@ -13,8 +13,8 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from ..operators.multimodal import extract_media_metadata
-from ..operators.similarity import cosine_topk, embedding_near_dups
+from ..operators.multimodal import extract_media_metadata, resize_media, sample_frames
+from ..operators.similarity import cosine_topk, embedding_near_dups, ivf_topk
 from ..operators.textops import (
     LANG_MARKERS,
     fingerprint,
@@ -274,6 +274,53 @@ WHERE a.vec_id < b.vec_id
   AND list_dot_product(a.v, b.v) / sqrt(list_dot_product(a.v, a.v) * list_dot_product(b.v, b.v)) > 0.999"""
 
 
+def q_embed_topk_ivf(spark, sf_dir):
+    """IVF clustered ANN — the scale path (cent_id as partition key →
+    file-pruned probes). Same query set as embed_topk; the oracle mirrors
+    the IVF algorithm itself, so the check is exact."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    return ivf_topk(emb, queries, k=5, nlist=16, nprobe=4)
+
+
+_SQL_COS = (
+    "round(list_dot_product({a}, {b}) / sqrt(list_dot_product({a}, {a})"
+    " * list_dot_product({b}, {b})), 6)"
+)
+
+SQL_EMBED_TOPK_IVF = f"""WITH c AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), cents AS (
+  SELECT vec_id AS cent_id, v AS cv FROM c WHERE vec_id < 16
+), assigned AS (
+  SELECT vec_id, v, cent_id FROM (
+    SELECT c.vec_id, c.v, cents.cent_id,
+           row_number() OVER (PARTITION BY c.vec_id
+             ORDER BY {_SQL_COS.format(a='c.v', b='cents.cv')} DESC, cents.cent_id) AS rn
+    FROM c, cents
+  ) WHERE rn = 1
+), q AS (
+  SELECT vec_id AS query_id, v AS qv FROM c WHERE vec_id < 3
+), probes AS (
+  SELECT query_id, qv, cent_id FROM (
+    SELECT q.query_id, q.qv, cents.cent_id,
+           row_number() OVER (PARTITION BY q.query_id
+             ORDER BY {_SQL_COS.format(a='q.qv', b='cents.cv')} DESC, cents.cent_id) AS prank
+    FROM q, cents
+  ) WHERE prank <= 4
+), cand AS (
+  SELECT p.query_id, a.vec_id, {_SQL_COS.format(a='a.v', b='p.qv')} AS cos6
+  FROM assigned a JOIN probes p ON a.cent_id = p.cent_id
+)
+SELECT query_id, rank, vec_id, cos6 FROM (
+  SELECT query_id, vec_id, cos6,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos6 DESC, vec_id) AS rank
+  FROM cand
+) WHERE rank <= 5"""
+
+
 # ------------------------------------------------------------- multimodal
 
 
@@ -292,6 +339,34 @@ SQL_MULTIMODAL_META = """SELECT doc_id,
 FROM documents"""
 
 
+def q_multimodal_resize(spark, sf_dir):
+    """Resize plumbing (decode/resample stubbed): bytes → bytes at a
+    target resolution, verified via md5 of the output payload."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    return resize_media(docs, target_w=64, target_h=64)
+
+
+SQL_MULTIMODAL_RESIZE = """SELECT doc_id,
+  CAST(64 AS BIGINT) AS width, CAST(64 AS BIGINT) AS height,
+  md5(text || ':64x64') AS resized_md5
+FROM documents"""
+
+
+def q_multimodal_frames(spark, sf_dir):
+    """Frame-sampling fan-out (1 video row → n_frames rows; UDTF shape)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    return sample_frames(docs)
+
+
+SQL_MULTIMODAL_FRAMES = """SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,
+  md5(text || ':' || i) AS frame_md5
+FROM documents, LATERAL unnest(range(0, 1 + octet_length(encode(text)) % 5)) t(i)"""
+
+
 QUERIES: dict[str, tuple] = {
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_jaccard": (q_dedup_jaccard, SQL_DEDUP_JACCARD),
@@ -303,4 +378,7 @@ QUERIES: dict[str, tuple] = {
     "embed_topk": (q_embed_topk, SQL_EMBED_TOPK),
     "embed_neardup": (q_embed_neardup, SQL_EMBED_NEARDUP),
     "multimodal_meta": (q_multimodal_meta, SQL_MULTIMODAL_META),
+    "embed_topk_ivf": (q_embed_topk_ivf, SQL_EMBED_TOPK_IVF),
+    "multimodal_resize": (q_multimodal_resize, SQL_MULTIMODAL_RESIZE),
+    "multimodal_frames": (q_multimodal_frames, SQL_MULTIMODAL_FRAMES),
 }

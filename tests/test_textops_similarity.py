@@ -144,3 +144,59 @@ def test_bucketed_ann_recall(spark):
     r1 = approx[approx["rank"] == 1]
     assert (r1["vec_id"].values == r1["query_id"].values).all()
     assert sum(recalls) / len(recalls) >= 0.5, recalls
+
+
+def test_ivf_topk_recall_vs_exact(spark):
+    """IVF with nprobe=nlist degenerates to exact search (every list is
+    probed); at nprobe=4/16 recall@5 on this corpus stays high."""
+    from osm_notes_ingestion_spark.operators.similarity import ivf_topk
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    exact = {
+        (r.query_id, r.vec_id) for r in cosine_topk(emb, queries, k=5).collect()
+    }
+    full_probe = {
+        (r.query_id, r.vec_id)
+        for r in ivf_topk(emb, queries, k=5, nlist=16, nprobe=16).collect()
+    }
+    assert full_probe == exact  # all lists probed == brute force
+
+    approx = {
+        (r.query_id, r.vec_id)
+        for r in ivf_topk(emb, queries, k=5, nlist=16, nprobe=4).collect()
+    }
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.6  # 4/16 lists probed; deterministic corpus
+
+
+def test_resize_and_frames_plumbing(spark):
+    """Resize: 1→1 row, deterministic output hash. Frames: 1→n fan-out
+    with n = 1 + n_bytes % 5 (the mapInPandas-as-UDTF shape)."""
+    import hashlib
+
+    from osm_notes_ingestion_spark.operators.multimodal import (
+        resize_media,
+        sample_frames,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, b"abc"), (2, b"0123456"), (3, b"\x00\xff\x10\x20")],
+        "doc_id long, payload binary",
+    )
+    rs = {r.doc_id: r for r in resize_media(docs, 64, 64).collect()}
+    assert set(rs) == {1, 2, 3}
+    assert rs[1].width == 64 and rs[1].height == 64
+    assert rs[1].resized_md5 == hashlib.md5(b"abc:64x64").hexdigest()
+    assert rs[3].resized_md5 == hashlib.md5(b"\x00\xff\x10\x20:64x64").hexdigest()
+
+    fr = sample_frames(docs).collect()
+    by_doc = {}
+    for r in fr:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # n_frames = 1 + len(payload) % 5
+    assert len(by_doc[1]) == 4 and len(by_doc[2]) == 3 and len(by_doc[3]) == 5
+    assert sorted(r.frame_idx for r in by_doc[1]) == [0, 1, 2, 3]
+    assert by_doc[1][0].frame_md5 == hashlib.md5(b"abc:0").hexdigest()
