@@ -286,6 +286,48 @@ WHERE country_id IS NOT NULL
 GROUP BY CUBE (country_id, lang)"""
 
 
+def q_streaming_tiles(spark, sf_dir):
+    """True Structured Streaming through the driver gate: pages parquet →
+    readStream → extraction → event-time-windowed z4 tile counts
+    (watermark + tumbling window), run to completion with AvailableNow
+    into a memory sink; returns the settled result.
+
+    watermark_delay is set longer than the data's time span so no row is
+    dropped regardless of file-batch order — the streaming machinery
+    (state store, window aggregation, watermark advance) all runs, and
+    the result is deterministic ≡ the batch rollup, which is what the
+    SQL oracle states. test_streaming_equals_batch pins the same
+    invariant with a realistic delay."""
+    import tempfile
+
+    from ..streaming.incremental import streaming_tile_counts
+
+    src = tempfile.mkdtemp(prefix="stream_pages_")
+    pages = pages_df(spark, sf_dir)
+    pages.write.mode("overwrite").parquet(src)
+    stream = streaming_tile_counts(
+        spark, src, pages.schema, z=4, window="1 hour", watermark_delay="3650 days"
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("streaming_tiles_gate")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table("streaming_tiles_gate").select(
+        F.col("window_start").cast("timestamp").alias("window_start"), "x", "y", "cnt"
+    )
+
+
+SQL_STREAMING_TILES = f"""{_PTS_CTE}
+SELECT date_trunc('hour', ts) AS window_start,
+       {_TILE_X.format(n=16)} AS x, {_TILE_Y.format(n=16)} AS y, count(*) AS cnt
+FROM pts WHERE u < 90000
+GROUP BY 1, 2, 3"""
+
+
 QUERIES: dict[str, tuple] = {
     "extract_coords": (q_extract_coords, SQL_EXTRACT_COORDS),
     "assign_country_salted": (q_assign_country_salted, SQL_ASSIGN_SALTED),
@@ -300,4 +342,5 @@ QUERIES: dict[str, tuple] = {
     "tiles_by_year": (q_tiles_by_year, SQL_TILES_BY_YEAR),
     "knn": (q_knn, SQL_KNN),
     "reassign_changed": (q_reassign_changed, SQL_REASSIGN_CHANGED),
+    "streaming_tiles": (q_streaming_tiles, SQL_STREAMING_TILES),
 }
