@@ -286,6 +286,76 @@ WHERE country_id IS NOT NULL
 GROUP BY CUBE (country_id, lang)"""
 
 
+def q_s2_cells(spark, sf_dir):
+    """S2-style cell index (cube-face + Morton) — the alternate layout
+    key (functions/cells_alt.py): per-cell page counts at level 10.
+    The JVM Column, numpy, and SQL encoders are bit-identical twins."""
+    from ..functions.cells_alt import s2_cell_col
+
+    pts = _extracted(spark, sf_dir).where(F.col("has_coords"))
+    return (
+        pts.withColumn("s2_cell", s2_cell_col(F.col("lat"), F.col("lon"), 10))
+        .groupBy("s2_cell")
+        .agg(F.count("*").alias("n_pages"))
+    )
+
+
+def _sql_s2_cells() -> str:
+    from ..functions.cells_alt import s2_sql
+
+    cell = s2_sql("(lat_e6/1000000.0)", "(lon_e6/1000000.0)", 10)
+    return f"""{_PTS_CTE}
+SELECT {cell} AS s2_cell, count(*) AS n_pages
+FROM pts WHERE u < 90000 GROUP BY 1"""
+
+
+def q_s2_rollup(spark, sf_dir):
+    """Hierarchical rollup ON the S2 index (the cell_to_parent-style
+    rollup of SURVEY §2.8): encode at level 10, roll up to level 8 via
+    Morton shifts, count per parent. The oracle bins DIRECTLY at level 8
+    — proving shift-rollup ≡ direct coarse encoding."""
+    from ..functions.cells_alt import s2_cell_col, s2_parent_col
+
+    pts = _extracted(spark, sf_dir).where(F.col("has_coords"))
+    fine = pts.withColumn("c10", s2_cell_col(F.col("lat"), F.col("lon"), 10))
+    return (
+        fine.withColumn("s2_cell", s2_parent_col(F.col("c10"), 10, 8))
+        .groupBy("s2_cell")
+        .agg(F.count("*").alias("n_pages"))
+    )
+
+
+def _sql_s2_rollup() -> str:
+    from ..functions.cells_alt import s2_sql
+
+    cell = s2_sql("(lat_e6/1000000.0)", "(lon_e6/1000000.0)", 8)
+    return f"""{_PTS_CTE}
+SELECT {cell} AS s2_cell, count(*) AS n_pages
+FROM pts WHERE u < 90000 GROUP BY 1"""
+
+
+def q_hex_cells(spark, sf_dir):
+    """H3-style hexagonal index (axial + cube rounding) — the alternate
+    neighborhood key: per-hex page counts at res 6."""
+    from ..functions.cells_alt import hex_cell_col
+
+    pts = _extracted(spark, sf_dir).where(F.col("has_coords"))
+    return (
+        pts.withColumn("hex_cell", hex_cell_col(F.col("lat"), F.col("lon"), 6))
+        .groupBy("hex_cell")
+        .agg(F.count("*").alias("n_pages"))
+    )
+
+
+def _sql_hex_cells() -> str:
+    from ..functions.cells_alt import hex_sql
+
+    cell = hex_sql("(lat_e6/1000000.0)", "(lon_e6/1000000.0)", 6)
+    return f"""{_PTS_CTE}
+SELECT {cell} AS hex_cell, count(*) AS n_pages
+FROM pts WHERE u < 90000 GROUP BY 1"""
+
+
 def q_streaming_tiles(spark, sf_dir):
     """True Structured Streaming through the driver gate: pages parquet →
     readStream → extraction → event-time-windowed z4 tile counts
@@ -343,4 +413,7 @@ QUERIES: dict[str, tuple] = {
     "knn": (q_knn, SQL_KNN),
     "reassign_changed": (q_reassign_changed, SQL_REASSIGN_CHANGED),
     "streaming_tiles": (q_streaming_tiles, SQL_STREAMING_TILES),
+    "s2_cells": (q_s2_cells, _sql_s2_cells()),
+    "s2_rollup": (q_s2_rollup, _sql_s2_rollup()),
+    "hex_cells": (q_hex_cells, _sql_hex_cells()),
 }
