@@ -26,7 +26,11 @@ import uuid
 
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description="osm_notes_ingestion_spark runner")
-    p.add_argument("--job", required=True, choices=["assign", "tiles", "knn", "incremental"])
+    p.add_argument(
+        "--job",
+        required=True,
+        choices=["assign", "fused", "tiles", "knn", "incremental", "dedup"],
+    )
     p.add_argument("--sf-dir", required=True)
     p.add_argument("--output", required=True)
     p.add_argument("--fanout", type=int, default=1)
@@ -84,6 +88,15 @@ def main(argv: list[str] | None = None) -> None:
             mlog.log_stage(run_id, "assignment_metrics", assignment_metrics(assigned))
             mlog.log_stage(run_id, "lineage", partition_lineage(assigned))
         mlog.log_stage(run_id, "extraction_metrics", extraction_metrics(ext))
+    elif args.job == "fused":
+        # the raw-throughput pipeline: one Arrow pass, no second UDF stage
+        from .operators.fused import fused_extract_assign
+
+        assigned = fused_extract_assign(spark, pages, index)
+        assigned.select("id", "url", "lat", "lon", "cell", "country_id").write.mode(
+            "overwrite"
+        ).parquet(f"{args.output}/assignments")
+        mlog.log_stage(run_id, "lineage", partition_lineage(assigned))
     elif args.job == "tiles":
         assigned = assign_countries(spark, ext, index)
         tiles = tile_counts(
@@ -98,6 +111,29 @@ def main(argv: list[str] | None = None) -> None:
         ]
         res = knn(spark, ext.where(F.col("has_coords")), queries, k=args.k)
         res.write.mode("overwrite").parquet(f"{args.output}/knn")
+    elif args.job == "dedup":
+        # training-data pipeline: exact dedup table + MinHash-LSH near-dup
+        # pairs over the documents corpus
+        from .operators.textops import (
+            jaccard_filter,
+            lsh_band_signatures,
+            lsh_candidate_pairs,
+            minhash_signatures,
+            word_shingles,
+        )
+
+        docs = spark.read.parquet(f"{args.sf_dir}/documents.parquet").select("doc_id", "text")
+        exact = (
+            docs.withColumn("text_md5", F.md5(F.encode("text", "UTF-8")))
+            .groupBy("text_md5")
+            .agg(F.min("doc_id").alias("canonical_id"), F.count("*").alias("n_copies"))
+        )
+        exact.write.mode("overwrite").parquet(f"{args.output}/dedup_exact")
+        sh = word_shingles(docs).persist()
+        cands = lsh_candidate_pairs(lsh_band_signatures(minhash_signatures(sh)))
+        pairs = jaccard_filter(cands, sh, threshold=0.8)
+        pairs.write.mode("overwrite").parquet(f"{args.output}/near_dup_pairs")
+        mlog.log_counters(run_id, "dedup", {"n_docs": docs.count()})
     elif args.job == "incremental":
         from .streaming.incremental import IncrementalRunner
 
