@@ -49,14 +49,31 @@ def word_shingles(
 
 
 def minhash_signatures(shingles: DataFrame, id_col: str = "doc_id", n_hashes: int = 16) -> DataFrame:
-    """→ (id, hid, mh): per (doc, hash-function) minimum shingle hash."""
-    hashes = shingles.sparkSession.range(n_hashes).select(F.col("id").alias("hid"))
-    h = _md5_int(F.concat(F.col("hid").cast("string"), F.lit(":"), F.col("shingle")))
-    return (
-        shingles.crossJoin(F.broadcast(hashes))
-        .select(F.col(id_col), "hid", h.alias("h"))
-        .groupBy(id_col, "hid")
-        .agg(F.min("h").alias("mh"))
+    """→ (id, hid, mh): per (doc, hash-function) minimum shingle hash.
+
+    ONE md5 per shingle (not per shingle×hash): the digest's two
+    independent 15-hex halves seed a universal family
+    h_i = (h1 + i·(h2 mod 2^31−1)) mod (10^9+7) — the prime modulus is
+    what decorrelates the per-function argmins (without it the family is
+    monotone in h1 and all bands collapse toward the same min-shingle;
+    measured: 4 false-negative pairs at 16 hashes). i·h2m < 2^35, sums
+    stay well inside int64. The mins aggregate as n_hashes WIDE columns
+    (shuffle = one row per doc, map-side combined), then unpivot to the
+    long (id, hid, mh) shape. vs the naive crossJoin×16: 16× fewer md5s
+    AND 16× less shuffle input."""
+    P = 1000000007
+    h1 = _md5_int(F.col("shingle"), 1, 15)
+    h2m = _md5_int(F.col("shingle"), 16, 15) % F.lit(2147483647)
+    base = shingles.select(F.col(id_col), h1.alias("h1"), h2m.alias("h2m"))
+    wide = base.groupBy(id_col).agg(
+        *[
+            F.min((F.col("h1") + F.lit(i) * F.col("h2m")) % F.lit(P)).alias(f"_mh{i}")
+            for i in range(n_hashes)
+        ]
+    )
+    stack = ", ".join(f"CAST({i} AS BIGINT), _mh{i}" for i in range(n_hashes))
+    return wide.select(
+        F.col(id_col), F.expr(f"stack({n_hashes}, {stack}) AS (hid, mh)")
     )
 
 

@@ -105,8 +105,13 @@ WHERE CAST(i AS DOUBLE) / (za.sz + zb.sz - i) >= 0.8"""
 # ------------------------------------------------------------- minhash LSH
 
 _SQL_MINHASH = """mh AS (
-  SELECT doc_id, hid, min(('0x' || substr(md5(hid || ':' || shingle), 1, 15))::BIGINT) AS mh
-  FROM shingles, range(16) r(hid) GROUP BY 1, 2
+  SELECT doc_id, hid, min((h1 + hid * h2m) % 1000000007) AS mh
+  FROM (
+    SELECT doc_id,
+           ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h1,
+           (('0x' || substr(md5(shingle), 16, 15))::BIGINT % 2147483647) AS h2m
+    FROM shingles
+  ), range(16) r(hid) GROUP BY 1, 2
 ), bands AS (
   SELECT doc_id, CAST(hid // 4 AS INT) AS band,
          string_agg(CAST(mh AS VARCHAR), '-' ORDER BY hid) AS bandsig
