@@ -56,3 +56,35 @@ def test_refine_fraction_is_small(spark, sf_dir):
         F.avg(F.col("refined").cast("double")).alias("frac")
     ).collect()[0]
     assert stats.frac < 0.10, f"refine fraction {stats.frac:.3f} too high"
+
+
+def test_s2_hex_encoders_stay_in_codegen(spark, sf_dir):
+    """The alternate cell encoders are pure JVM expressions: no Python
+    eval node may appear in their plans (the only allowed Python stage is
+    the extraction mapInPandas upstream)."""
+    from osm_notes_ingestion_spark.functions.cells_alt import hex_cell_col, s2_cell_col
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").selectExpr(
+        "event_id", "CAST(event_id % 90 AS DOUBLE) AS lat", "CAST(event_id % 180 AS DOUBLE) AS lon"
+    )
+    for col in (s2_cell_col(F.col("lat"), F.col("lon"), 10), hex_cell_col(F.col("lat"), F.col("lon"), 6)):
+        plan = ev.withColumn("c", col)._jdf.queryExecution().executedPlan().toString()
+        assert "EvalPython" not in plan and "MapInPandas" not in plan
+        # "*(1)" prefix = the whole-stage-codegen stage marker
+        assert "*(1) Project" in plan
+
+
+def test_ivf_probe_join_is_broadcast(spark):
+    """IVF candidate scoring must broadcast the (tiny) probe table — the
+    corpus side stays put, partitioned by cent_id at scale."""
+    from osm_notes_ingestion_spark.operators.similarity import ivf_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    plan = (
+        ivf_topk(emb, queries, k=5)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
