@@ -87,12 +87,18 @@ def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 def extract_pages(pages: DataFrame) -> DataFrame:
     """pages(id,url,warc_ts,html,lang) → extracted rows (see EXTRACT_SCHEMA).
 
-    The UTF-8 decode happens JVM-side (F.decode with replacement for
-    malformed bytes — real crawl data contains invalid UTF-8; replacement
-    never alters valid pages so the byte-identity invariant holds), so the
-    Arrow batches carry strings and the Python side never loops per row.
+    The UTF-8 decode happens JVM-side with U+FFFD replacement for
+    malformed bytes — real crawl data contains invalid UTF-8, and under
+    Spark 4's ANSI mode `F.decode(.., 'UTF-8')` THROWS on it (a poisoned
+    page would kill a 100 TB job). `CAST(binary AS STRING)` wraps the raw
+    bytes without validation and `make_valid_utf8` replaces invalid
+    sequences; replacement never alters valid pages, so the byte-identity
+    invariant holds. Arrow batches then carry strings and the Python side
+    never loops per row.
     """
-    decoded = pages.withColumn("html", F.decode("html", "UTF-8"))
+    decoded = pages.withColumn(
+        "html", F.expr("make_valid_utf8(CAST(html AS STRING))")
+    )
     return decoded.mapInPandas(_extract_batches, schema=EXTRACT_SCHEMA)
 
 

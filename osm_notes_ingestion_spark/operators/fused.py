@@ -207,5 +207,7 @@ def fused_extract_assign(
 
     from pyspark.sql import functions as F
 
-    decoded = pages.withColumn("html", F.decode("html", "UTF-8"))
+    # lenient decode: ANSI-mode F.decode throws on malformed UTF-8 (see
+    # operators/extract.py) — cast + make_valid_utf8 replaces instead
+    decoded = pages.withColumn("html", F.expr("make_valid_utf8(CAST(html AS STRING))"))
     return decoded.mapInPandas(batches, schema=FUSED_SCHEMA)

@@ -137,3 +137,33 @@ def test_pip_edge_conventions():
     assert not pack.contains(idx[3], np.array([60.0]), np.array([10.000001]))[0]
     # polar cap
     assert pack.contains(idx[6], np.array([12.0]), np.array([89.9]))[0]
+
+
+def test_extraction_survives_malformed_utf8(spark):
+    """A poisoned page (invalid UTF-8 bytes) must not kill the job —
+    Spark 4 ANSI decode() throws; the engine's cast+make_valid_utf8 path
+    replaces with U+FFFD. Valid rows in the same batch stay byte-exact."""
+    import datetime
+
+    from osm_notes_ingestion_spark.operators.extract import extract_pages
+    from osm_notes_ingestion_spark.operators.fused import fused_extract_assign
+    from osm_notes_ingestion_spark.sources.polygons import prep_polygons
+    from osm_notes_ingestion_spark.sources.synth import world_polygons
+
+    good_html = b'<meta name="geo.position" content="35.000000;-100.000000"><p class="c">ok</p>'
+    rows = [
+        (1, "u1", datetime.datetime(2024, 1, 1), bytearray(b"\x00\xff\x10 garbage"), "x", "en"),
+        (2, "u2", datetime.datetime(2024, 1, 1), bytearray(good_html), "x", "en"),
+    ]
+    schema = "id long, url string, warc_ts timestamp, html binary, text string, lang string"
+    df = spark.createDataFrame(rows, schema)
+
+    ext = {r.id: r for r in extract_pages(df).collect()}
+    assert len(ext) == 2
+    assert not ext[1].has_coords
+    assert ext[2].has_coords and ext[2].lat_e6 == 35000000 and ext[2].text == "ok"
+
+    index = prep_polygons(world_polygons(), level=7)
+    fused = {r.id: r for r in fused_extract_assign(spark, df, index).collect()}
+    assert fused[1].country_id is None
+    assert fused[2].country_id == 1 and fused[2].text == "ok"  # Hotland
