@@ -53,14 +53,18 @@ def main() -> None:
             sys.argv = [sys.argv[0]]  # no --report-only
             sb.main()
             os.remove(LOCK)
-            sessions = [
-                line for line in open(sb.SESSIONS_LOG) if '"scaling_efficiency' in line
-            ]
             import json
 
-            effs = [json.loads(s)["scaling_efficiency_n_to_4n"] for s in sessions]
-            if max(effs) >= 0.8:
-                print(f"captured clean session (best eff {max(effs)}); done", flush=True)
+            # stop only on a clean session captured by THIS run (the log
+            # may already hold a good historical session)
+            last = json.loads(
+                [line for line in open(sb.SESSIONS_LOG) if line.strip()][-1]
+            )
+            if last["scaling_efficiency_n_to_4n"] >= 0.8:
+                print(
+                    f"captured clean session (eff {last['scaling_efficiency_n_to_4n']}); done",
+                    flush=True,
+                )
                 return
         else:
             os.remove(LOCK)
