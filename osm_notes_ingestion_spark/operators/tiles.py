@@ -108,3 +108,24 @@ def check_pyramid(tiles: DataFrame) -> DataFrame:
         parent.join(child, ["z", "x", "y"], "inner")
         .where(F.col("cnt") != F.col("child_sum"))
     )
+
+
+def merge_tile_counts(existing: DataFrame, delta: DataFrame) -> DataFrame:
+    """Incremental tile maintenance: published counts + a new batch's
+    delta counts → updated counts (additive merge, map-side combinable).
+
+    Reference analog: the WMS layer is kept in sync by row triggers on
+    every insert/update (sql/wms/prepareDatabase.sql:104-121); set-based
+    Spark replaces per-row trigger firing with one delta aggregation and
+    an additive merge — at 100 TB the delta is the 15-minute batch, not
+    the corpus, and the merge shuffles only tile rows (≤4^z), never
+    facts. Counts of zero are dropped so retractions (negative deltas)
+    can also compact the table.
+    """
+    dims = [c for c in existing.columns if c != "cnt"]
+    return (
+        existing.unionByName(delta)
+        .groupBy(*dims)
+        .agg(F.sum("cnt").alias("cnt"))
+        .where(F.col("cnt") != 0)
+    )

@@ -178,6 +178,26 @@ GROUP BY 1, 2, 3, 4"""
 _KNN_QUERIES = [(1, 35.0, -100.0), (2, 0.0, 60.0), (3, -5.0, 179.9)]
 
 
+def q_tiles_incremental(spark, sf_dir):
+    """Incremental tile maintenance (WMS trigger analog,
+    prepareDatabase.sql:104-121): tiles published from the pre-cutoff
+    corpus + delta tiles from the new batch, additively merged. The
+    oracle bins the FULL corpus directly — merge(old, delta) ≡ full."""
+    from ..operators.tiles import merge_tile_counts
+
+    pts = _extracted(spark, sf_dir).where(F.col("has_coords"))
+    cutoff = F.lit("2024-01-05 00:00:00")
+    old = tile_counts(pts.where(F.col("warc_ts") <= cutoff), max_zoom=5, min_zoom=5)
+    delta = tile_counts(pts.where(F.col("warc_ts") > cutoff), max_zoom=5, min_zoom=5)
+    return merge_tile_counts(old, delta).select("z", "x", "y", "cnt")
+
+
+SQL_TILES_INCREMENTAL = f"""{_PTS_CTE}
+SELECT 5 AS z, {_TILE_X.format(n=32)} AS x, {_TILE_Y.format(n=32)} AS y, count(*) AS cnt
+FROM pts WHERE u < 90000
+GROUP BY 1, 2, 3"""
+
+
 def q_knn(spark, sf_dir):
     pts = _extracted(spark, sf_dir).where(F.col("has_coords"))
     return knn(spark, pts, _KNN_QUERIES, k=5, level=6).select(
@@ -410,6 +430,7 @@ QUERIES: dict[str, tuple] = {
     "incremental_scan": (q_incremental_scan, SQL_INCREMENTAL_SCAN),
     "tiles_z4": (q_tiles_z4, SQL_TILES_Z4),
     "tiles_by_year": (q_tiles_by_year, SQL_TILES_BY_YEAR),
+    "tiles_incremental": (q_tiles_incremental, SQL_TILES_INCREMENTAL),
     "knn": (q_knn, SQL_KNN),
     "reassign_changed": (q_reassign_changed, SQL_REASSIGN_CHANGED),
     "streaming_tiles": (q_streaming_tiles, SQL_STREAMING_TILES),

@@ -71,3 +71,19 @@ def test_exploded_strategy_equals_pyramid(pts):
     ka = a.set_index(["z", "x", "y"])["cnt"].sort_index()
     kb = b.set_index(["z", "x", "y"])["cnt"].sort_index()
     assert ka.equals(kb)
+
+
+def test_merge_tile_counts_with_retraction(spark):
+    """Additive merge handles negative deltas (retractions) and compacts
+    zero rows — full ≡ merge(old, delta) is pinned by the
+    tiles_incremental oracle; this pins the retraction path."""
+    from osm_notes_ingestion_spark.operators.tiles import merge_tile_counts
+
+    old = spark.createDataFrame(
+        [(5, 1, 1, 10), (5, 2, 2, 3)], "z int, x long, y long, cnt long"
+    )
+    delta = spark.createDataFrame(
+        [(5, 1, 1, -10), (5, 3, 3, 7)], "z int, x long, y long, cnt long"
+    )
+    got = {(r.z, r.x, r.y): r.cnt for r in merge_tile_counts(old, delta).collect()}
+    assert got == {(5, 2, 2): 3, (5, 3, 3): 7}  # (1,1) compacted away
