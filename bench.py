@@ -92,6 +92,11 @@ def main() -> None:
     # init, broadcast unpack, codegen)
     warm = pages_df(spark, SF_DIR).limit(CPUS * 64).repartition(CPUS)
     materialize(fused_extract_assign(spark, warm, index))
+    # also warm the declarative path (cell-join broadcast + refine UDF)
+    from osm_notes_ingestion_spark.operators.extract import extract_pages
+    from osm_notes_ingestion_spark.operators.spatial_join import assign_countries
+
+    materialize(assign_countries(spark, extract_pages(warm), index))
 
     timings: dict[str, float] = {}
     trials: dict[str, list[float]] = {}
