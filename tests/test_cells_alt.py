@@ -127,3 +127,29 @@ def test_hex_neighbors_are_adjacent_bins():
         dlon = 1.2 * s * math.cos(math.radians(ang))
         c = int(hex_encode(np.array([lat0 + dlat]), np.array([lon0 + dlon]), res)[0])
         assert c in ring1 or c == c0
+
+
+def test_s2_parent_consistency_property():
+    """Hierarchy property: encoding at a coarse level directly equals
+    shifting the fine cell's Morton bits (what s2_parent_col does JVM-side
+    and the s2_rollup oracle proves engine-wide)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.floats(-89.9, 89.9),
+        st.floats(-180.0, 180.0),
+        st.integers(2, 14),
+        st.integers(0, 4),
+    )
+    def check(lat, lon, level, d):
+        fine = int(s2_encode(np.array([lat]), np.array([lon]), level)[0])
+        coarse = int(s2_encode(np.array([lat]), np.array([lon]), level - min(d, level))[0])
+        dd = min(d, level)
+        face = (fine >> 52) & 7
+        morton = fine & ((1 << 52) - 1)
+        derived = ((level - dd) << 55) | (face << 52) | (morton >> (2 * dd))
+        assert derived == coarse
+
+    check()
