@@ -176,6 +176,13 @@ def main() -> None:
         f"eff={s['scaling_efficiency_n_to_4n']}"
         for s in same_shape
     )
+    other = [s for s in sessions if s not in same_shape]
+    if other:
+        trials_note += "\n\nAdditional N→4N shapes (same job/input):\n" + "\n".join(
+            f"- {s['timestamp']}: {s['n_cores']}→{s['n4_cores']} cores, "
+            f"N={s['n_sec']}s, 4N={s['n4_sec']}s, eff={s['scaling_efficiency_n_to_4n']}"
+            for s in other
+        )
 
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
         f.write(

@@ -31,20 +31,21 @@ def main() -> None:
     rounds = int(os.environ.get("HUNT_ROUNDS", "14"))
     sleep_s = int(os.environ.get("HUNT_SLEEP_S", "480"))
     threshold = float(os.environ.get("HUNT_THRESHOLD_S", "27.0"))
+    probe_cpus = int(os.environ.get("HUNT_PROBE_CPUS", "8"))
     pages_path = os.environ.get("SPARK_GRAFT_PAGES_PATH", "/tmp/scaling_pages")
 
     best = None
     for i in range(rounds):
         open(LOCK, "w").write("probe\n")
         try:
-            r = sb.run_once(8, pages_path)
+            r = sb.run_once(probe_cpus, pages_path)
         except Exception as exc:  # noqa: BLE001 — keep hunting on trial failure
             print(f"probe {i}: failed ({exc})", flush=True)
             os.remove(LOCK)
             time.sleep(sleep_s)
             continue
         t8 = r["sec"]
-        print(f"probe {i}: 8-core {t8:.1f}s (threshold {threshold})", flush=True)
+        print(f"probe {i}: {probe_cpus}-core {t8:.1f}s (threshold {threshold})", flush=True)
         if best is None or t8 < best:
             best = t8
         if t8 <= threshold:
