@@ -75,11 +75,17 @@ def main() -> None:
     # JVM warm (codegen/classloading)
     spark.range(1_000_000).selectExpr("sum(id)").collect()
 
-    # flagship input: materialized parquet (untimed; cached across runs)
+    # flagship input: materialized parquet (untimed; cached across runs,
+    # keyed by the synthesizer source hash so synth changes invalidate it)
+    import hashlib
+
+    import osm_notes_ingestion_spark.sources.synth as _synth
+
+    synth_tag = hashlib.md5(open(_synth.__file__, "rb").read()).hexdigest()[:8]
     pages_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)),
         ".bench_pages",
-        f"{SF_DIR.rstrip('/').split('/')[-1]}_f{FANOUT}",
+        f"{SF_DIR.rstrip('/').split('/')[-1]}_f{FANOUT}_{synth_tag}",
     )
     if not os.path.exists(os.path.join(pages_path, "_SUCCESS")):
         pages_df(spark, SF_DIR, fanout=FANOUT).write.mode("overwrite").parquet(pages_path)
