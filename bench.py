@@ -37,7 +37,10 @@ from osm_notes_ingestion_spark.session import get_spark  # noqa: E402
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 FANOUT = int(os.environ.get("SPARK_GRAFT_FANOUT", "24"))
-TRIALS = int(os.environ.get("SPARK_GRAFT_TRIALS", "2"))
+# 3 trials: the shared host's CPU steal varies 2-3× between windows
+# (BENCH/BASELINE.md session table); best-of-3 reliably lands one
+# representative steady-state measurement per query
+TRIALS = int(os.environ.get("SPARK_GRAFT_TRIALS", "3"))
 
 BENCH_QUERIES = [
     "assign_country",
