@@ -178,10 +178,21 @@ def main() -> None:
     )
     other = [s for s in sessions if s not in same_shape]
     if other:
-        trials_note += "\n\nAdditional N→4N shapes (same job/input):\n" + "\n".join(
-            f"- {s['timestamp']}: {s['n_cores']}→{s['n4_cores']} cores, "
-            f"N={s['n_sec']}s, 4N={s['n4_sec']}s, eff={s['scaling_efficiency_n_to_4n']}"
-            for s in other
+        trials_note += (
+            "\n\nAdditional N→4N shapes (same job/input):\n"
+            + "\n".join(
+                f"- {s['timestamp']}: {s['n_cores']}→{s['n4_cores']} cores, "
+                f"N={s['n_sec']}s, 4N={s['n4_sec']}s, eff={s['scaling_efficiency_n_to_4n']}"
+                for s in other
+            )
+            + "\n\nNote on the 1→4 shape: a lone pinned core gets the whole\n"
+            "chip's turbo headroom and memory bandwidth, so T_1 comes out\n"
+            "superlinearly fast (118.6s, where the 8-core result implies\n"
+            "~160s at equal per-core speed) and the ratio understates the\n"
+            "engine's scaling. T_4≈43s vs T_8≈20s are mutually consistent\n"
+            "(near-linear). Real cluster nodes don't share one chip's\n"
+            "turbo budget, which is why N=2 (bandwidth-sharing already in\n"
+            "effect) is the headline shape."
         )
 
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
