@@ -104,9 +104,9 @@ SQL_IGNORED_TRANSITIONS = f"""WITH e AS (
   FROM e WHERE ev IN ('closed', 'reopened', 'hidden')
 )
 SELECT user_id,
-       sum(CASE WHEN ev = 'hidden' THEN 0
+       CAST(sum(CASE WHEN ev = 'hidden' THEN 0
                 WHEN pm IS NULL THEN CASE WHEN ev = 'reopened' THEN 1 ELSE 0 END
-                WHEN m = pm THEN 1 ELSE 0 END) AS n_ignored
+                WHEN m = pm THEN 1 ELSE 0 END) AS BIGINT) AS n_ignored
 FROM sub GROUP BY user_id"""
 
 
