@@ -143,16 +143,29 @@ def assign_countries(
         joined.withColumn("_fallback", fallback)
         .withColumn("_contender_ids", F.transform(contenders, lambda c: c["country_id"]))
         .withColumn("n_candidates", F.coalesce(F.size("cands"), F.lit(0)))
+        .withColumn("refined", F.col("lat").isNotNull() & (F.size("_contender_ids") > 0))
     )
 
+    # Split-refine: only rows with contending partial candidates (~4% at
+    # cover level 9) enter the Arrow-batched exact-PIP branch; everyone
+    # else resolves fully JVM-side. A `when(needs, refine(...))` cannot
+    # short-circuit — Spark evaluates a pandas UDF over the whole batch —
+    # so the split is physical: filter → refine → union. Both branches are
+    # map-only (filter over the same broadcast join; union is narrow), so
+    # the fact side still never shuffles. The upstream lineage runs once
+    # per branch; at scale the assign input is a materialized narrow
+    # table, so the extra pass is a cheap pruned scan while the Arrow
+    # volume drops by the refine fraction (~25x).
     refine = _make_refine_udf(spark, index.pack)
-    needs = F.col("lat").isNotNull() & (F.size("_contender_ids") > 0)
-    assigned = resolved.withColumn(
+    fast = resolved.where(~F.col("refined")).withColumn(
         "country_id",
-        F.when(F.col("lat").isNull(), F.lit(None).cast("long"))
-        .when(~needs, F.col("_fallback"))
-        .otherwise(refine(F.col("lon"), F.col("lat"), F.col("_contender_ids"), F.col("_fallback"))),
-    ).withColumn("refined", needs)
+        F.when(F.col("lat").isNull(), F.lit(None).cast("long")).otherwise(F.col("_fallback")),
+    )
+    slow = resolved.where(F.col("refined")).withColumn(
+        "country_id",
+        refine(F.col("lon"), F.col("lat"), F.col("_contender_ids"), F.col("_fallback")),
+    )
+    assigned = fast.unionByName(slow)
 
     return assigned.select("id", *keep_cols, "lat", "lon", "cell", "country_id", "n_candidates", "refined")
 

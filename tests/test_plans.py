@@ -47,6 +47,25 @@ def test_watermark_filter_pushdown(spark, sf_dir):
     assert "props" not in plan.split("ReadSchema")[1][:200]
 
 
+def test_refine_branch_is_filtered(assigned_plan):
+    """Split-refine claim: the Arrow (pandas-UDF) stage sits on a FILTERED
+    branch — only contender rows pay for Python, not the whole table. The
+    plan must be a Union whose Arrow subtree is fed by a size(_contender)
+    filter; the fast branch has no Python at all."""
+    assert "Union" in assigned_plan
+    assert assigned_plan.count("ArrowEvalPython") == 1
+    # tree print: the Arrow node's subtree appears after it. Catalyst
+    # pushes the contender-size predicate onto the broadcast BUILD side
+    # (only contender cells survive) and the join becomes Inner — assert
+    # both: an Inner broadcast join and a size(...)>0 filter in the
+    # subtree, and no Python node in the fast branch (before the Arrow).
+    arrow_subtree = assigned_plan.split("ArrowEvalPython", 1)[1]
+    assert "BroadcastHashJoin" in arrow_subtree and "Inner" in arrow_subtree
+    assert "Filter (size(" in arrow_subtree
+    fast_branch = assigned_plan.split("ArrowEvalPython", 1)[0]
+    assert "EvalPython" not in fast_branch.replace("ArrowEvalPython", "")
+
+
 def test_refine_fraction_is_small(spark, sf_dir):
     """The fast-path claim: at cover level 9 only boundary-cell points pay
     for Python (reference analog: 95% fast-path hit)."""
