@@ -10,10 +10,13 @@ sql/functionsProcess_21_createFunctionToGetCountry.sql:204-220) with:
   prepared geometries cached per backend).
 - `points_in_polygon`: vectorized even-odd (ray-casting) test — handles
   holes and multipolygon parts with no special casing because parity
-  composes. Convention: points exactly on a boundary are NOT reliably
-  classified (PostGIS ST_Contains excludes boundaries); all synthetic
-  fixtures place vertices at half-microdegree offsets so integer-µdeg
-  points never sit on an edge, and tests pin the convention.
+  composes. Boundary convention (PINNED): a point exactly on any ring
+  edge or vertex is NOT contained — PostGIS ST_Contains semantics
+  (boundary excluded), computed deterministically with an explicit
+  on-segment test in the same vectorized pass (tests pin vertex /
+  horizontal-edge / vertical-edge fixtures). Synthetic fixtures still
+  place vertices at half-microdegree offsets so integer-µdeg points
+  exercise the interior/exterior paths, not the boundary rule.
 - `cover_polygon`: recursive quadtree cover at a target geocell level,
   classifying each cell FULL (entirely inside → containment proven, no
   exact test needed at join time) or PARTIAL (boundary cell → exact PIP
@@ -46,25 +49,50 @@ def points_in_rings(px: np.ndarray, py: np.ndarray, rings: list[np.ndarray]) -> 
     Vectorized over points AND edges: O(M * E) numpy ops, no Python loop
     over points. E (total edges per polygon) is small (≤ a few thousand
     for admin-0 shapes); M is the Arrow batch.
+
+    Boundary convention (pinned, ST_Contains semantics): a point exactly
+    on an edge or vertex is NOT contained. The signed-area term `t` of
+    the crossing test doubles as the exact collinearity test (t == 0 on
+    the supporting line), so the boundary mask costs no extra pass.
     """
     px = np.asarray(px, dtype=np.float64)
     py = np.asarray(py, dtype=np.float64)
     inside = np.zeros(px.shape[0], dtype=bool)
+    on_edge = np.zeros(px.shape[0], dtype=bool)
     for ring in rings:
         x1 = ring[:, 0]
         y1 = ring[:, 1]
         x2 = np.roll(x1, -1)
         y2 = np.roll(y1, -1)
-        # crossing test per (point, edge); strict/non-strict split avoids
-        # double-counting vertices and skips horizontal edges entirely
+        dx = (x2 - x1)[None, :]
+        dy = (y2 - y1)[None, :]
+        rx = px[:, None] - x1[None, :]
+        ry = py[:, None] - y1[None, :]
+        # signed area of (edge, point): t = rx*dy - ry*dx.
+        # t == 0 ⟺ point on the edge's supporting line (exact for the
+        # axis-aligned fixtures; float-exactness caveat only for slanted
+        # edges, where the convention test uses representable points).
+        t = rx * dy - ry * dx
+        # half-open crossing rule (skips horizontal edges, counts each
+        # vertex once); "px strictly left of the intersection" expressed
+        # multiplication-only: sign(t) agrees with the edge direction.
         cond = (y1[None, :] > py[:, None]) != (y2[None, :] > py[:, None])
-        with np.errstate(divide="ignore", invalid="ignore"):
-            xint = x1[None, :] + (py[:, None] - y1[None, :]) / (y2[None, :] - y1[None, :]) * (
-                x2[None, :] - x1[None, :]
-            )
-        cross = cond & (px[:, None] < xint)
-        inside ^= (cross.sum(axis=1) % 2).astype(bool)
-    return inside
+        strike = cond & ((t < 0) == (dy > 0)) & (t != 0)
+        inside ^= (strike.sum(axis=1) % 2).astype(bool)
+        # boundary: collinear AND within the edge's bbox
+        bx_lo = np.minimum(x1, x2)[None, :]
+        bx_hi = np.maximum(x1, x2)[None, :]
+        by_lo = np.minimum(y1, y2)[None, :]
+        by_hi = np.maximum(y1, y2)[None, :]
+        on = (
+            (t == 0)
+            & (px[:, None] >= bx_lo)
+            & (px[:, None] <= bx_hi)
+            & (py[:, None] >= by_lo)
+            & (py[:, None] <= by_hi)
+        )
+        on_edge |= on.any(axis=1)
+    return inside & ~on_edge
 
 
 def segments_intersect_rect(
@@ -252,13 +280,17 @@ def repair_rings(rings: list[np.ndarray]) -> tuple[list[np.ndarray], str]:
     """Polygon validity repair cascade — the engine twin of the reference's
     ST_MakeValid → ST_Collect → ST_Buffer(0) fallback chain
     (bin/lib/functionsProcess.sh:1891-1989, incl. the Austria/Taiwan
-    special-casing rationale). Without a full geometry kernel the cascade
-    is: (1) structural cleanup — drop consecutive duplicate vertices,
-    drop degenerate rings (<3 distinct points), strip explicit closure;
-    (2) if a ring still self-intersects, fall back to its convex hull
-    (over-inclusive, like Buffer(0) healing — boundary-cell PIP stays
-    exact for the healed shape). Returns (repaired_rings, method) where
-    method ∈ {'clean', 'hull', 'dropped'} for the metrics table.
+    special-casing rationale). Cascade: (1) structural cleanup — drop
+    consecutive duplicate vertices, drop degenerate rings (<3 distinct
+    points), strip explicit closure; (2) if a ring self-intersects,
+    RE-NODE it: split at each self-crossing into simple rings whose
+    even-odd union covers exactly the parity regions of the original —
+    the same answer PostGIS ST_MakeValid('linework') gives for a bowtie
+    (two triangles, crossing point on the boundary of both), NOT the
+    over-inclusive convex hull; (3) only if re-noding fails to converge
+    (pathological float geometry) fall back to the convex hull. Returns
+    (repaired_rings, method), method ∈ {'clean', 'renode', 'hull',
+    'dropped'} for the metrics table.
     """
     out: list[np.ndarray] = []
     method = "clean"
@@ -274,12 +306,76 @@ def repair_rings(rings: list[np.ndarray]) -> tuple[list[np.ndarray], str]:
             method = "dropped"
             continue
         if _ring_self_intersects(r):
+            parts = _renode_ring(r)
+            if parts is not None:
+                out.extend(parts)
+                method = "renode"
+                continue
             r = _convex_hull(r)
             method = "hull"
         out.append(r)
     if not out:
         method = "dropped"
     return out, method
+
+
+def _renode_ring(ring: np.ndarray, max_splits: int = 256) -> list[np.ndarray] | None:
+    """Split a self-crossing ring into simple rings at its crossings.
+
+    At a proper crossing of edges (v_i→v_{i+1}) and (v_j→v_{j+1}) at
+    point p, re-route v_i→p→v_{j+1} and v_j→p→v_{i+1}: the cycle splits
+    into two cycles [v_0..v_i, p, v_{j+1}..] and [p, v_{i+1}..v_j].
+    The directed-edge multiset is preserved up to subdivision at p, and
+    even-odd ray parity depends only on that multiset — so the union of
+    the split rings covers EXACTLY the parity regions of the original
+    (ST_MakeValid linework semantics). Recurses until every part is
+    simple; returns None if the split budget is exhausted (caller falls
+    back to the hull).
+    """
+    work = [np.asarray(ring, dtype=np.float64)]
+    done: list[np.ndarray] = []
+    splits = 0
+    while work:
+        r = work.pop()
+        # drop degenerate slivers produced by splitting
+        if len(np.unique(np.round(r, 12), axis=0)) < 3:
+            continue
+        hit = _first_self_crossing(r)
+        if hit is None:
+            done.append(r)
+            continue
+        if splits >= max_splits:
+            return None
+        splits += 1
+        i, j, p = hit
+        a = np.vstack([r[: i + 1], p[None, :], r[j + 1 :]])
+        b = np.vstack([p[None, :], r[i + 1 : j + 1]])
+        work.extend([a, b])
+    return done if done else None
+
+
+def _first_self_crossing(ring: np.ndarray):
+    """First properly-crossing non-adjacent edge pair → (i, j, point)."""
+    n = len(ring)
+    x1, y1 = ring[:, 0], ring[:, 1]
+    x2, y2 = np.roll(x1, -1), np.roll(y1, -1)
+    for i in range(n):
+        js = np.arange(i + 2, n if i > 0 else n - 1)
+        if len(js) == 0:
+            continue
+        d1 = (x2[i] - x1[i]) * (y1[js] - y1[i]) - (y2[i] - y1[i]) * (x1[js] - x1[i])
+        d2 = (x2[i] - x1[i]) * (y2[js] - y1[i]) - (y2[i] - y1[i]) * (x2[js] - x1[i])
+        d3 = (x2[js] - x1[js]) * (y1[i] - y1[js]) - (y2[js] - y1[js]) * (x1[i] - x1[js])
+        d4 = (x2[js] - x1[js]) * (y2[i] - y1[js]) - (y2[js] - y1[js]) * (x2[i] - x1[js])
+        m = (d1 * d2 < 0) & (d3 * d4 < 0)
+        if m.any():
+            j = int(js[np.argmax(m)])
+            jj = np.flatnonzero(js == j)[0]
+            # intersection parameter along edge j's span of edge i's line
+            t = d3[jj] / (d3[jj] - d4[jj])
+            p = np.array([x1[i] + t * (x2[i] - x1[i]), y1[i] + t * (y2[i] - y1[i])])
+            return i, j, p
+    return None
 
 
 def _ring_self_intersects(ring: np.ndarray) -> bool:
