@@ -247,6 +247,53 @@ def q_assign_country_fused(spark, sf_dir):
     )
 
 
+_GEOJSON_INDEX_CACHE: dict[str, object] = {}
+
+
+def _index_geojson(spark):
+    """The same world LOADED from a GeoJSON fixture instead of synthesized:
+    features serialized to NDJSON (Wrapland re-fused into ONE
+    antimeridian-crossing ring; Hotland given a duplicate vertex +
+    explicit closure so the repair path runs), read back through the
+    Spark NDJSON loader with repair + auto-split, then prepped. Assigning
+    against this index must equal assigning against the synthetic twin —
+    which is exactly what the shared oracle states."""
+    key = spark.sparkContext.applicationId
+    cached = _GEOJSON_INDEX_CACHE.get(key)
+    if cached is not None:
+        return cached
+
+    import copy
+    import os
+    import tempfile
+
+    import numpy as np
+
+    from ..sources.geojson import load_polygons_geojson, world_to_geojson_lines
+
+    polys = copy.deepcopy(world_polygons())
+    for p in polys:
+        if p["country_id"] == 1:  # exercise structural repair: dup vertex + closure
+            r = p["rings"][0]
+            p["rings"] = [np.vstack([r[:1], r[:1], r[1:], r[:1]])]
+    lines = world_to_geojson_lines(polys, crossing_ids=(5,))
+    d = tempfile.mkdtemp(prefix="world_geojson_")
+    path = os.path.join(d, "world.jsonl")
+    with open(path, "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+    loaded, stats = load_polygons_geojson(spark, path)
+    assert any(s["antimeridian_split"] for s in stats), "fixture must exercise the split"
+    index = prep_polygons(loaded, level=9)
+    _GEOJSON_INDEX_CACHE[key] = index
+    return index
+
+
+def q_assign_country_geojson(spark, sf_dir):
+    return assign_countries(spark, _extracted(spark, sf_dir), _index_geojson(spark)).select(
+        "id", "country_id"
+    )
+
+
 @lru_cache(maxsize=1)
 def _index_midland_shrunk():
     """The boundary-refresh scenario: Midland (id 2) shrinks to a sliver
@@ -425,6 +472,7 @@ QUERIES: dict[str, tuple] = {
     "cube_counts": (q_cube_counts, SQL_CUBE_COUNTS),
     "extract_text_md5": (q_extract_text_md5, SQL_EXTRACT_TEXT_MD5),
     "assign_country": (q_assign_country, SQL_ASSIGN_COUNTRY),
+    "assign_country_geojson": (q_assign_country_geojson, SQL_ASSIGN_COUNTRY),
     "assign_counts": (q_assign_counts, SQL_ASSIGN_COUNTS),
     "checkpoint_restore": (q_checkpoint_restore, SQL_ASSIGN_COUNTRY),
     "incremental_scan": (q_incremental_scan, SQL_INCREMENTAL_SCAN),

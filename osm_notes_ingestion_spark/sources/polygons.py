@@ -108,9 +108,19 @@ def candidates_df(spark: SparkSession, index: PolygonIndex) -> DataFrame:
     LocalTableScan straight into BroadcastExchange. A groupBy here would
     put a (tiny but pointless) shuffle into every assignment job.
     """
+    import hashlib
+
     import numpy as np
 
-    key = (spark.sparkContext.applicationId, id(index.cells), index.level)
+    # content-keyed: id()-based keys can silently alias a *different*
+    # polygon set after garbage collection reuses an address
+    content = hashlib.md5(
+        index.cells.tobytes()
+        + index.country_ids.tobytes()
+        + index.priorities.tobytes()
+        + index.fulls.tobytes()
+    ).hexdigest()
+    key = (spark.sparkContext.applicationId, content, index.level)
     cached = _CANDIDATES_CACHE.get(key)
     if cached is not None:
         return cached
