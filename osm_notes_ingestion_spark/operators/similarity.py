@@ -84,6 +84,39 @@ def embedding_near_dups(
     )
 
 
+def embedding_near_dups_bucketed(
+    corpus: DataFrame,
+    threshold: float = 0.999,
+    bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """→ (id_a, id_b): near-dup pairs via SRP bucketing — the SCALE path.
+
+    Corpus is bucketed once by the sign-random-projection sketch; only
+    SAME-BUCKET pairs are cosine-scored (equi-join on srp_bucket — no
+    cartesian anywhere). At 10^12 rows srp_bucket is the partition/sort
+    key, so the self-join co-locates and Iceberg min-max prunes files.
+    Near-identical vectors (cos > 0.999) project to the same signs unless
+    one sits within rounding of a hyperplane, so recall ≈ 1 at these
+    thresholds (measured in tests); precision is exactly 1 — every
+    emitted pair is cosine-verified.
+    """
+    c = srp_bucket(
+        corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).cast("array<double>").alias("v")),
+        vec_col="v",
+        bits=bits,
+    )
+    a = c.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"), "srp_bucket")
+    b = c.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"), "srp_bucket")
+    return (
+        a.join(b, "srp_bucket")
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(cosine(F.col("va"), F.col("vb")) > threshold)
+        .select("id_a", "id_b")
+    )
+
+
 def srp_bucket(df: DataFrame, vec_col: str = "embedding", bits: int = 8) -> DataFrame:
     """Sign-random-projection bucket id (LSH for cosine), md5-seeded.
 

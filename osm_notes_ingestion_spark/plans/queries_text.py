@@ -78,7 +78,13 @@ _SQL_SHINGLES = """shingles AS (
 
 
 def q_dedup_jaccard(spark, sf_dir):
-    """All-pairs word-3-gram Jaccard ≥ 0.8 (exact baseline)."""
+    """All-pairs word-3-gram Jaccard ≥ 0.8.
+
+    BASELINE-ONLY: the crossJoin feed is the deliberate small-scale
+    exactness oracle, NOT a production path — never run this shape at
+    scale. The canonical scalable dedup is dedup_minhash_lsh (banded
+    equi-join candidates → jaccard verify), which this baseline exists
+    to validate against."""
     c = _corpus(spark, sf_dir)
     sh = word_shingles(c)
     all_pairs = (
@@ -279,6 +285,50 @@ WHERE a.vec_id < b.vec_id
   AND list_dot_product(a.v, b.v) / sqrt(list_dot_product(a.v, a.v) * list_dot_product(b.v, b.v)) > 0.999"""
 
 
+def q_embed_neardup_bucketed(spark, sf_dir):
+    """The SCALE near-dup path, gated: SRP-bucketed equi-join (no
+    cartesian) over the same planted-dup corpus as embed_neardup. The
+    oracle mirrors the bucketing EXACTLY (same md5-seeded hyperplanes,
+    same sign test), like embed_topk_ivf's oracle mirrors IVF."""
+    from ..operators.similarity import embedding_near_dups_bucketed
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select("vec_id", "embedding")
+    planted = emb.where(F.col("vec_id") % 50 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(F.col("embedding").cast("array<double>"), lambda x: x * 2.0).alias("embedding"),
+    )
+    corpus = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("embedding")).unionByName(planted)
+    return embedding_near_dups_bucketed(corpus, threshold=0.999, bits=8)
+
+
+def _sql_srp_bucket_expr(v: str, bits: int = 8) -> str:
+    """DuckDB twin of srp_bucket: same md5-seeded ±1 hyperplanes, same
+    in-order ±v[i] accumulation (sign flips are IEEE-exact, so the fold
+    agrees bit-for-bit with Spark's aggregate)."""
+    terms = []
+    for b in range(bits):
+        w = (
+            f"list_transform(range(0, len({v})), i -> "
+            f"CASE WHEN ('0x' || substr(md5('{b}:' || i), 1, 1))::BIGINT % 2 = 1 "
+            f"THEN {v}[i + 1] ELSE -{v}[i + 1] END)"
+        )
+        terms.append(f"(CASE WHEN list_sum({w}) > 0 THEN {1 << b} ELSE 0 END)")
+    return " + ".join(terms)
+
+
+SQL_EMBED_NEARDUP_BUCKETED = f"""WITH corpus AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000, list_transform(embedding::DOUBLE[], x -> x * 2.0)
+  FROM embeddings WHERE vec_id % 50 = 0
+), buck AS (
+  SELECT vec_id, v, CAST({_sql_srp_bucket_expr('v')} AS BIGINT) AS srp_bucket FROM corpus
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b
+FROM buck a JOIN buck b ON a.srp_bucket = b.srp_bucket AND a.vec_id < b.vec_id
+WHERE list_dot_product(a.v, b.v) / sqrt(list_dot_product(a.v, a.v) * list_dot_product(b.v, b.v)) > 0.999"""
+
+
 def q_embed_topk_ivf(spark, sf_dir):
     """IVF clustered ANN — the scale path (cent_id as partition key →
     file-pruned probes). Same query set as embed_topk; the oracle mirrors
@@ -382,6 +432,7 @@ QUERIES: dict[str, tuple] = {
     "fingerprint": (q_fingerprint, SQL_FINGERPRINT),
     "embed_topk": (q_embed_topk, SQL_EMBED_TOPK),
     "embed_neardup": (q_embed_neardup, SQL_EMBED_NEARDUP),
+    "embed_neardup_bucketed": (q_embed_neardup_bucketed, SQL_EMBED_NEARDUP_BUCKETED),
     "multimodal_meta": (q_multimodal_meta, SQL_MULTIMODAL_META),
     "embed_topk_ivf": (q_embed_topk_ivf, SQL_EMBED_TOPK_IVF),
     "multimodal_resize": (q_multimodal_resize, SQL_MULTIMODAL_RESIZE),

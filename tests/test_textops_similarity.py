@@ -200,3 +200,28 @@ def test_resize_and_frames_plumbing(spark):
     assert len(by_doc[1]) == 4 and len(by_doc[2]) == 3 and len(by_doc[3]) == 5
     assert sorted(r.frame_idx for r in by_doc[1]) == [0, 1, 2, 3]
     assert by_doc[1][0].frame_md5 == hashlib.md5(b"abc:0").hexdigest()
+
+
+def test_bucketed_neardup_recall_vs_exact(spark):
+    """The gated scale path (SRP equi-join) vs the exact all-pairs
+    baseline on the planted-dup corpus: precision is 1 by construction
+    (every pair cosine-verified); recall must be 1 here because positive
+    scaling preserves every sign projection."""
+    from osm_notes_ingestion_spark.operators.similarity import (
+        embedding_near_dups,
+        embedding_near_dups_bucketed,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    planted = emb.where(F.col("vec_id") % 50 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * 2.0).alias("embedding"),
+    )
+    corpus = emb.unionByName(planted)
+    exact = {(r.id_a, r.id_b) for r in embedding_near_dups(corpus, 0.999).collect()}
+    bucketed = {(r.id_a, r.id_b) for r in embedding_near_dups_bucketed(corpus, 0.999).collect()}
+    assert bucketed <= exact  # precision 1
+    assert bucketed == exact  # recall 1 on this corpus
+    assert len(exact) > 0
