@@ -22,31 +22,67 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 
-META_SCHEMA = "doc_id long, n_bytes long, width long, height long"
+META_SCHEMA = "doc_id long, n_bytes long, width long, height long, decoder string"
+
+
+def _probe_decoder() -> str:
+    """Capability probe: 'pil' when a real image decoder is importable on
+    this node, else 'stub'. Runs on the EXECUTOR (inside the UDF) so a
+    heterogeneous cluster self-describes per task."""
+    try:
+        import PIL.Image  # noqa: F401
+
+        return "pil"
+    except Exception:
+        return "stub"
 
 
 def _decode_stub(payload: bytes) -> tuple[int, int]:
-    """STUB — a real deployment decodes the image header here (PIL /
-    libjpeg / ffprobe). Deterministic fake: dimensions derived from the
-    payload's md5 so tests and SQL oracles can verify the plumbing.
-    Raise NotImplementedError for formats a real decoder would reject."""
+    """STUB decode — deterministic fake: dimensions derived from the
+    payload's md5 so tests and SQL oracles can verify the plumbing."""
     h = hashlib.md5(payload).hexdigest()
     return 160 + int(h[0:6], 16) % 1920, 120 + int(h[6:12], 16) % 1080
 
 
-def extract_media_metadata(df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload") -> DataFrame:
-    """binary payloads → (doc_id, n_bytes, width, height), Arrow-batched."""
+def _decode_pil(payload: bytes) -> tuple[int, int]:
+    """Real header decode (only reachable where PIL imports)."""
+    from io import BytesIO
+
+    from PIL import Image
+
+    with Image.open(BytesIO(payload)) as im:
+        return im.width, im.height
+
+
+def extract_media_metadata(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    decoder: str = "auto",
+) -> DataFrame:
+    """binary payloads → (doc_id, n_bytes, width, height, decoder).
+
+    decoder: 'auto' probes for PIL on the executor and uses it when
+    present; 'stub' forces the deterministic fake (what the exact SQL
+    oracle checks); 'pil' demands the real decoder (ImportError where
+    absent). The emitted `decoder` column makes the stub status visible
+    to every downstream consumer — no silent fake dimensions."""
+    if decoder not in ("auto", "stub", "pil"):
+        raise ValueError(f"unknown decoder {decoder!r}")
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        resolved = _probe_decoder() if decoder == "auto" else decoder
+        decode = _decode_pil if resolved == "pil" else _decode_stub
         for pdf in it:
             payloads = pdf[payload_col]
-            dims = payloads.apply(_decode_stub)
+            dims = payloads.apply(decode)
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col],
                     "n_bytes": payloads.str.len().astype("int64"),
                     "width": dims.str[0].astype("int64"),
                     "height": dims.str[1].astype("int64"),
+                    "decoder": resolved,
                 }
             )
 

@@ -380,17 +380,22 @@ SELECT query_id, rank, vec_id, cos6 FROM (
 
 
 def q_multimodal_meta(spark, sf_dir):
-    """Binary-payload metadata extraction (decode stubbed, plumbing real)."""
+    """Binary-payload metadata extraction. decoder='stub' is FORCED here
+    (the payloads are synthetic text bytes, not real images, and the
+    oracle states the stub's exact fake dimensions); the operator's
+    'auto' mode probes for PIL on the executor and self-describes via
+    the emitted decoder column."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
         "doc_id", F.encode("text", "UTF-8").alias("payload")
     )
-    return extract_media_metadata(docs)
+    return extract_media_metadata(docs, decoder="stub")
 
 
 SQL_MULTIMODAL_META = """SELECT doc_id,
   CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
   CAST(160 + ('0x' || substr(md5(text), 1, 6))::BIGINT % 1920 AS BIGINT) AS width,
-  CAST(120 + ('0x' || substr(md5(text), 7, 6))::BIGINT % 1080 AS BIGINT) AS height
+  CAST(120 + ('0x' || substr(md5(text), 7, 6))::BIGINT % 1080 AS BIGINT) AS height,
+  'stub' AS decoder
 FROM documents"""
 
 

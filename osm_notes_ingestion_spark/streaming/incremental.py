@@ -38,6 +38,7 @@ class IncrementalResult:
     watermark_after: object
     advanced: bool
     full_resync: bool
+    gap_pct: float = 0.0
 
 
 class IncrementalRunner:
@@ -56,7 +57,20 @@ class IncrementalRunner:
         self.full_resync_threshold = full_resync_threshold
         self.watermark = None
 
-    def run_batch(self, pages: DataFrame) -> IncrementalResult:
+    def run_batch(
+        self, pages: DataFrame, children: DataFrame | None = None, child_key: str = "id"
+    ) -> IncrementalResult:
+        """Process one incremental batch.
+
+        `children` (optional): the child-row stream of the batch (the
+        comments to the pages' notes). When provided, the watermark
+        advance is gated on the REFERENCE's integrity criterion — the
+        notes-without-comments gap (merge.gap_stats, the J5 anti-join;
+        processAPINotes_34_updateLastValues.sql:92-105) — in addition to
+        the extraction-reject guard. A parent whose children have not
+        arrived yet means the API slice was torn; advancing the watermark
+        would skip the missing children forever.
+        """
         batch = pages
         if self.watermark is not None:
             batch = batch.where(F.col("warc_ts") > F.lit(self.watermark))
@@ -80,19 +94,36 @@ class IncrementalRunner:
         n_assigned = merged.count()
         self.store.write_snapshot(merged)
 
-        # quality gate: % of extracted rows that had coords but no valid
-        # assignment candidate cell (analog of notes-without-comments gaps)
+        # quality gates, both required to advance:
+        # 1. extraction health: % of rows rejected by coordinate validation
+        # 2. (reference's criterion) integrity gap: % of batch parents
+        #    with NO child rows — merge.gap_stats, the J5 anti-join
         gates = ext.agg(
             F.count("*").alias("n"),
             F.sum(F.col("rejected").cast("long")).alias("rej"),
             F.max("warc_ts").alias("maxts"),
         ).collect()[0]
-        gap_pct = (100.0 * (gates.rej or 0) / gates.n) if gates.n else 0.0
+        rej_pct = (100.0 * (gates.rej or 0) / gates.n) if gates.n else 0.0
+        gap_pct = 0.0
+        if children is not None:
+            from ..operators.merge import gap_stats
+
+            parents = ext.select(F.col("id").alias("_nk"))
+            kids = children.select(F.col(child_key).alias("_nk"))
+            gap_pct = float(
+                gap_stats(parents, kids, note_key="_nk").collect()[0].gap_pct or 0.0
+            )
         before = self.watermark
-        advanced = gap_pct <= self.max_gap_pct and gates.maxts is not None
+        advanced = (
+            rej_pct <= self.max_gap_pct
+            and gap_pct <= self.max_gap_pct
+            and gates.maxts is not None
+        )
         if advanced:
             self.watermark = max(filter(None, [self.watermark, gates.maxts]))
-        return IncrementalResult(n_input, n_assigned, before, self.watermark, advanced, full_resync)
+        return IncrementalResult(
+            n_input, n_assigned, before, self.watermark, advanced, full_resync, gap_pct
+        )
 
 
 def streaming_tile_counts(

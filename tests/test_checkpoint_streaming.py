@@ -95,6 +95,28 @@ def test_incremental_runner_watermark(spark, index, sf_dir, tmp_path):
     assert _as_map(store.latest(spark)) == full
 
 
+def test_missing_children_block_watermark_advance(spark, index, sf_dir, tmp_path):
+    """The reference's integrity gate: a batch whose parents lack child
+    rows (notes without comments, J5 anti-join) must NOT advance the
+    watermark (processAPINotes_34_updateLastValues.sql:92-105); the next
+    run re-reads the same slice. A complete child set advances it."""
+    pages = pages_df(spark, sf_dir).cache()
+    store = SnapshotStore(str(tmp_path / "gapgate"))
+    runner = IncrementalRunner(spark, index, store, max_gap_pct=5.0)
+
+    # children for only ~half the pages → gap ≈ 50% >> 5% → refused
+    torn = pages.select("id").where(F.col("id") % 2 == 0)
+    r1 = runner.run_batch(pages, children=torn)
+    assert not r1.advanced and r1.gap_pct > 5.0
+    assert runner.watermark is None
+
+    # complete children (with fan-out — multiple kids per parent is fine)
+    complete = pages.select("id").unionByName(pages.select("id"))
+    r2 = runner.run_batch(pages, children=complete)
+    assert r2.advanced and r2.gap_pct == 0.0
+    assert runner.watermark is not None
+
+
 def test_full_resync_trigger(spark, index, sf_dir, tmp_path):
     pages = pages_df(spark, sf_dir)
     store = SnapshotStore(str(tmp_path / "resync"))

@@ -126,6 +126,24 @@ def test_multimodal_metadata_plumbing(spark):
     assert (meta == meta2).all().all()
 
 
+def test_multimodal_decoder_self_describes(spark):
+    """'auto' emits the executor's actual capability; forcing 'stub'
+    always labels stub; demanding 'pil' where PIL is absent FAILS instead
+    of silently faking."""
+    from osm_notes_ingestion_spark.operators.multimodal import _probe_decoder
+
+    docs = spark.createDataFrame([(1, b"x")], "doc_id long, payload binary")
+    auto = extract_media_metadata(docs, decoder="auto").collect()[0]
+    assert auto.decoder == _probe_decoder()
+    forced = extract_media_metadata(docs, decoder="stub").collect()[0]
+    assert forced.decoder == "stub"
+    if _probe_decoder() == "stub":
+        import pytest as _pytest
+
+        with _pytest.raises(Exception):
+            extract_media_metadata(docs, decoder="pil").collect()
+
+
 def test_bucketed_ann_recall(spark):
     from osm_notes_ingestion_spark.operators.similarity import cosine_topk_bucketed
 
