@@ -88,6 +88,123 @@ def knn(
         radius *= 2
 
 
+def knn_df(
+    spark: SparkSession,
+    points: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    level: int = 6,
+    initial_radius: int = 1,
+    id_col: str = "id",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    query_id_col: str = "query_id",
+    qlat_col: str = "qlat",
+    qlon_col: str = "qlon",
+) -> DataFrame:
+    """kNN for a DATAFRAME of query points (millions-scale query sets).
+
+    Unlike `knn` (driver-side Python list, fine for dashboard-sized query
+    sets), the ring expansion here is data: each query row carries its own
+    `radius`; candidate cells come from an exploded
+    sequence(−radius..radius)² with JVM cell arithmetic (lon wrap via
+    pmod, lat clamp by filter) — no per-query driver work. Per-query
+    convergence is data too: a query freezes once its k-th best distance
+    is provably inside its ring (same bound as `knn`), and only
+    unconverged queries re-expand with doubled radius. The driver loop
+    runs ≤ log2(2^level)+1 times and touches only one scalar (the
+    remaining-query count) per iteration.
+
+    Output: (query_id, rank, id, d2) — identical semantics/oracle as knn.
+    """
+    pts = points.where(F.col(lat_col).isNotNull()).select(
+        F.col(id_col).alias("id"),
+        F.round(F.col(lat_col) * 1e6).cast("long").alias("plat"),
+        F.round(F.col(lon_col) * 1e6).cast("long").alias("plon"),
+        cell_col(F.col(lat_col), F.col(lon_col), level).alias("cell"),
+    ).cache()
+    n = 1 << level
+    nmax = n - 1
+    cell_h_e6 = 180.0 / n * 1e6
+
+    qx = F.least(
+        F.greatest(F.floor((F.col(qlon_col) + F.lit(180.0)) / F.lit(360.0) * F.lit(float(n))), F.lit(0)),
+        F.lit(nmax),
+    )
+    qy = F.least(
+        F.greatest(F.floor((F.col(qlat_col) + F.lit(90.0)) / F.lit(180.0) * F.lit(float(n))), F.lit(0)),
+        F.lit(nmax),
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.round(F.col(qlat_col) * 1e6).cast("long").alias("qlat"),
+        F.round(F.col(qlon_col) * 1e6).cast("long").alias("qlon"),
+        qx.cast("long").alias("qx"),
+        qy.cast("long").alias("qy"),
+        F.lit(initial_radius).cast("long").alias("radius"),
+    ).cache()
+
+    dlon = F.abs(F.col("plon") - F.col("qlon"))
+    dlon = F.least(dlon, F.lit(360_000_000) - dlon)
+    d2 = (F.col("plat") - F.col("qlat")) * (F.col("plat") - F.col("qlat")) + dlon * dlon
+    w = Window.partitionBy("query_id").orderBy("d2", "id")
+
+    results: list[DataFrame] = []
+    while True:
+        cand_cells = (
+            q.withColumn("dx", F.explode(F.sequence(-F.col("radius"), F.col("radius"))))
+            .withColumn("dy", F.explode(F.sequence(-F.col("radius"), F.col("radius"))))
+            .withColumn("y", F.col("qy") + F.col("dy"))
+            .where((F.col("y") >= 0) & (F.col("y") <= nmax))  # lat clamps
+            .withColumn("x", F.pmod(F.col("qx") + F.col("dx"), F.lit(n)))  # lon wraps
+            .select(
+                "query_id",
+                "qlat",
+                "qlon",
+                (
+                    F.lit(level << 58).cast("long")
+                    + F.col("y") * F.lit(1 << 29).cast("long")
+                    + F.col("x")
+                ).alias("cell"),
+            )
+            .distinct()  # wrap may alias cells once 2r+1 >= n
+        )
+        topk = (
+            pts.join(F.broadcast(cand_cells), "cell", "inner")
+            .withColumn("d2", d2)
+            .withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", F.col("rank").cast("long").alias("rank"), "id", "d2")
+        )
+        stats = topk.groupBy("query_id").agg(
+            F.count("*").alias("_nn"), F.max("d2").alias("_maxd2")
+        )
+        bound = F.pow(
+            F.greatest(F.col("radius") * F.lit(cell_h_e6) - F.lit(1.0), F.lit(0.0)), F.lit(2.0)
+        )
+        conv = q.join(stats, "query_id", "left").withColumn(
+            "_ok",
+            F.coalesce(
+                ((F.col("_nn") >= k) & (F.col("_maxd2") < bound)) | (F.col("radius") >= n),
+                F.col("radius") >= n,
+            ),
+        )
+        done_ids = conv.where(F.col("_ok")).select("query_id")
+        results.append(topk.join(F.broadcast(done_ids), "query_id", "inner"))
+        q = (
+            conv.where(~F.col("_ok"))
+            .select("query_id", "qlat", "qlon", "qx", "qy", (F.col("radius") * 2).alias("radius"))
+            .cache()
+        )
+        if q.count() == 0:  # driver-side scalar — the loop's only collect
+            break
+
+    out = results[0]
+    for r in results[1:]:
+        out = out.unionByName(r)
+    return out
+
+
 def knn_brute_force(
     points: DataFrame,
     queries: list[tuple[int, float, float]],

@@ -221,6 +221,49 @@ SELECT query_id, rank, id, d2 FROM (
 ) WHERE rank <= 5"""
 
 
+def q_knn_bulk(spark, sf_dir):
+    """kNN over a DATAFRAME of query points (every event id seeds one
+    query via the synth coordinate formulas on id+777 — ≥10⁴ queries at
+    sf0.01): join-based ring expansion with per-query radius/convergence
+    as data (operators/knn.knn_df), matching the brute-force oracle."""
+    from ..operators.knn import knn_df
+
+    pts = _extracted(spark, sf_dir).where(F.col("has_coords"))
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    queries = ev.select(
+        F.col("event_id").alias("query_id"),
+        (F.expr(_Q_LAT_E6).cast("double") / 1e6).alias("qlat"),
+        (F.expr(_Q_LON_E6).cast("double") / 1e6).alias("qlon"),
+    )
+    return knn_df(spark, pts, queries, k=3, level=6).select(
+        "query_id", "rank", "id", "d2"
+    )
+
+
+# unbanded query coordinates (every event id yields a query — no nulls)
+_Q_LAT_E6 = "(((event_id + 777)*2246822519 + 13) % 170000001) - 85000000"
+_Q_LON_E6 = "(((event_id + 777)*2654435761 + 7) % 360000001) - 180000000"
+
+SQL_KNN_BULK = f"""{_PTS_CTE},
+q AS (
+  SELECT event_id AS query_id,
+         {_Q_LAT_E6} AS qlat,
+         {_Q_LON_E6} AS qlon
+  FROM events
+), d AS (
+  SELECT q.query_id, pts.id,
+         (pts.lat_e6 - q.qlat)*(pts.lat_e6 - q.qlat)
+         + LEAST(ABS(pts.lon_e6 - q.qlon), 360000000 - ABS(pts.lon_e6 - q.qlon))
+           * LEAST(ABS(pts.lon_e6 - q.qlon), 360000000 - ABS(pts.lon_e6 - q.qlon)) AS d2
+  FROM pts, q WHERE pts.u < 90000
+)
+SELECT query_id, rank, id, d2 FROM (
+  SELECT query_id, id, d2,
+         row_number() OVER (PARTITION BY query_id ORDER BY d2, id) AS rank
+  FROM d
+) WHERE rank <= 3"""
+
+
 def q_assign_country_salted(spark, sf_dir):
     """The explicit shuffle+salt variant (assign_countries_partitioned) —
     same oracle as the broadcast path; pins that skew handling doesn't
@@ -480,6 +523,7 @@ QUERIES: dict[str, tuple] = {
     "tiles_by_year": (q_tiles_by_year, SQL_TILES_BY_YEAR),
     "tiles_incremental": (q_tiles_incremental, SQL_TILES_INCREMENTAL),
     "knn": (q_knn, SQL_KNN),
+    "knn_bulk": (q_knn_bulk, SQL_KNN_BULK),
     "reassign_changed": (q_reassign_changed, SQL_REASSIGN_CHANGED),
     "streaming_tiles": (q_streaming_tiles, SQL_STREAMING_TILES),
     "s2_cells": (q_s2_cells, _sql_s2_cells()),

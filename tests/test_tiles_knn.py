@@ -87,3 +87,23 @@ def test_merge_tile_counts_with_retraction(spark):
     )
     got = {(r.z, r.x, r.y): r.cnt for r in merge_tile_counts(old, delta).collect()}
     assert got == {(5, 2, 2): 3, (5, 3, 3): 7}  # (1,1) compacted away
+
+
+def test_knn_df_matches_brute_force_incl_antimeridian(spark, sf_dir):
+    """DataFrame-of-queries kNN (join-based ring expansion, per-query
+    convergence as data) ≡ brute force — including a query next to the
+    antimeridian whose ring must wrap."""
+    from osm_notes_ingestion_spark.operators.knn import knn_df
+
+    pts = extract_pages(pages_df(spark, sf_dir)).where(F.col("has_coords"))
+    qlist = [(1, 35.0, -100.0), (2, 0.0, 60.0), (3, -5.0, 179.9), (4, 88.0, 10.0)]
+    qdf = spark.createDataFrame(qlist, "query_id long, qlat double, qlon double")
+    got = {
+        (r.query_id, r.rank): (r.id, r.d2)
+        for r in knn_df(spark, pts, qdf, k=5, level=6).collect()
+    }
+    want = {
+        (r.query_id, r.rank): (r.id, r.d2)
+        for r in knn_brute_force(pts, qlist, k=5).collect()
+    }
+    assert got == want
