@@ -218,7 +218,16 @@ def s2_parent_col(cell: Column, from_level: int, to_level: int) -> Column:
 HEX_RES_SHIFT = 58
 HEX_Q_SHIFT = 29
 HEX_OFF = 1 << 27  # keeps axial coords non-negative in the packed id
+# Field-width bound: |q| ≈ 33.5·2^res for in-range lat/lon, and the q/r
+# fields hold HEX_OFF±2^27 ≈ ±1.34e8 — so res ≥ 21 would overflow into
+# the neighboring field and silently corrupt ids. Guarded everywhere.
+HEX_MAX_RES = 20
 _SQRT3_3 = 0.5773502691896258  # sqrt(3)/3, fixed constant both engines
+
+
+def _check_hex_res(res: int) -> None:
+    if not 0 <= res <= HEX_MAX_RES:
+        raise ValueError(f"hex res must be in [0, {HEX_MAX_RES}], got {res}")
 
 
 def _hex_size(res: int) -> float:
@@ -229,6 +238,7 @@ def _hex_size(res: int) -> float:
 
 def hex_encode(lat: np.ndarray, lon: np.ndarray, res: int) -> np.ndarray:
     """Pointy-top axial hex binning with cube rounding (numpy)."""
+    _check_hex_res(res)
     s = _hex_size(res)
     X = np.asarray(lon, dtype=np.float64)
     Y = np.asarray(lat, dtype=np.float64)
@@ -253,6 +263,7 @@ def _cube_round_np(q, r):
 def hex_cell_col(lat: Column, lon: Column, res: int) -> Column:
     """JVM-side hex encode — same ops/order as numpy (round = half-even
     in numpy vs half-up in Spark `round`; use rint-equivalent `bround`)."""
+    _check_hex_res(res)
     s = _hex_size(res)
     q = (F.lit(_SQRT3_3) * lon - lat / F.lit(3.0)) / F.lit(s)
     r = (F.lit(2.0) * lat / F.lit(3.0)) / F.lit(s)
@@ -273,6 +284,7 @@ def hex_cell_col(lat: Column, lon: Column, res: int) -> Column:
 
 def hex_sql(lat: str, lon: str, res: int) -> str:
     """DuckDB fragment computing the identical hex id (round half-even)."""
+    _check_hex_res(res)
     s = _hex_size(res)
     q = f"(({_SQRT3_3!r} * {lon} - {lat} / 3.0) / {s!r})"
     r = f"((2.0 * {lat} / 3.0) / {s!r})"

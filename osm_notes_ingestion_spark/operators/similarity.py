@@ -179,8 +179,11 @@ def ivf_topk(
     oracle mirrors the algorithm exactly. Output schema = cosine_topk.
     """
     c = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).cast("array<double>").alias("v"))
+    # centroid bootstrap: the first nlist corpus vectors BY ID ORDER (not
+    # `id < nlist`, which silently under-fills on sparse/offset id spaces)
     cents = (
-        c.where(F.col("vec_id") < nlist)
+        c.orderBy("vec_id")
+        .limit(nlist)
         .select(F.col("vec_id").alias("cent_id"), F.col("v").alias("cv"))
     )
     # corpus → nearest centroid: argmax via max(struct) — map-side combinable
