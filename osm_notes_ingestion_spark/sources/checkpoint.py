@@ -45,15 +45,34 @@ class SnapshotStore:
         path = os.path.join(self.root, snap_id)
         df.write.mode("overwrite").parquet(path)
         rec = {"snapshot_id": snap_id, "kind": kind, "path": path, "committed_at": time.time()}
-        with open(self.manifest, "a") as f:
-            f.write(json.dumps(rec) + "\n")
+        with open(self.manifest, "ab") as f:
+            # heal a torn tail first: if a previous writer crashed mid-line
+            # (no trailing newline), appending directly would merge this
+            # commit into the torn line and lose BOTH — newline-terminate
+            # the wreckage so this commit parses on its own line
+            if f.tell() > 0:
+                with open(self.manifest, "rb") as rf:
+                    rf.seek(-1, os.SEEK_END)
+                    if rf.read(1) != b"\n":
+                        f.write(b"\n")
+            f.write((json.dumps(rec) + "\n").encode())
         return snap_id
 
     def snapshots(self, kind: str = "assignments") -> list[dict]:
         if not os.path.exists(self.manifest):
             return []
+        recs = []
         with open(self.manifest) as f:
-            recs = [json.loads(line) for line in f if line.strip()]
+            for line in f:
+                if not line.strip():
+                    continue
+                try:
+                    recs.append(json.loads(line))
+                except json.JSONDecodeError:
+                    # torn trailing line from a crash mid-append: the
+                    # commit never happened — ignore it (commit = the
+                    # complete manifest line, nothing less)
+                    continue
         return [r for r in recs if r["kind"] == kind]
 
     def latest(self, spark: SparkSession, kind: str = "assignments") -> DataFrame | None:
@@ -61,6 +80,13 @@ class SnapshotStore:
         if not snaps:
             return None
         return spark.read.parquet(snaps[-1]["path"])
+
+    def read_snapshot(self, spark: SparkSession, snapshot_id: str) -> DataFrame:
+        """Time travel by snapshot id (≈ Iceberg `VERSION AS OF`)."""
+        for r in self.snapshots(kind=snapshot_id.split("-")[0]):
+            if r["snapshot_id"] == snapshot_id:
+                return spark.read.parquet(r["path"])
+        raise KeyError(f"unknown snapshot {snapshot_id!r}")
 
 
 def resume_assignments(

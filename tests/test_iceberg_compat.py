@@ -1,0 +1,79 @@
+"""Compat tests for the documented Iceberg mapping of SnapshotStore.
+
+The store emulates Iceberg snapshot commits (sources/checkpoint.py:12-22:
+write_snapshot ≈ commit, latest ≈ current snapshot, read_snapshot ≈
+VERSION AS OF, resume_assignments ≈ MERGE with anti-join). These tests
+pin the SEMANTICS a real Iceberg backend must preserve on swap-in, so a
+drop-in replacement is verified against the same suite:
+
+- commit ordering & snapshot isolation (readers see the last complete
+  commit, never a partial one);
+- manifest-last atomicity: a crash after the data write but before the
+  manifest append leaves the table at the previous snapshot;
+- a torn (half-written) manifest line is not a commit;
+- time travel by snapshot id.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from osm_notes_ingestion_spark.sources.checkpoint import SnapshotStore
+
+
+def _df(spark, vals):
+    return spark.createDataFrame([(i, v) for i, v in enumerate(vals)], "id long, country_id long")
+
+
+def _vals(df):
+    return sorted((r.id, r.country_id) for r in df.collect())
+
+
+def test_commit_ordering_and_time_travel(spark, tmp_path):
+    store = SnapshotStore(str(tmp_path / "store"))
+    s1 = store.write_snapshot(_df(spark, [1, 1, 1]))
+    s2 = store.write_snapshot(_df(spark, [2, 2, 2]))
+    assert [r["snapshot_id"] for r in store.snapshots()] == [s1, s2]
+    assert _vals(store.latest(spark)) == _vals(_df(spark, [2, 2, 2]))
+    # VERSION AS OF: the old snapshot stays readable by id
+    assert _vals(store.read_snapshot(spark, s1)) == _vals(_df(spark, [1, 1, 1]))
+    with pytest.raises(KeyError):
+        store.read_snapshot(spark, "assignments-nope")
+
+
+def test_crash_before_manifest_append_is_not_a_commit(spark, tmp_path):
+    """Manifest-last: data files landing without a manifest line (crash
+    between the two steps) must be invisible — the table stays at the
+    previous snapshot, exactly like an uncommitted Iceberg write."""
+    store = SnapshotStore(str(tmp_path / "store"))
+    s1 = store.write_snapshot(_df(spark, [1, 1]))
+    # simulate the torn commit: parquet written, manifest NOT appended
+    orphan = os.path.join(store.root, "assignments-deadbeef0000")
+    _df(spark, [9, 9]).write.mode("overwrite").parquet(orphan)
+    assert [r["snapshot_id"] for r in store.snapshots()] == [s1]
+    assert _vals(store.latest(spark)) == _vals(_df(spark, [1, 1]))
+
+
+def test_torn_manifest_line_is_not_a_commit(spark, tmp_path):
+    store = SnapshotStore(str(tmp_path / "store"))
+    s1 = store.write_snapshot(_df(spark, [1, 1]))
+    with open(store.manifest, "a") as f:
+        f.write('{"snapshot_id": "assignments-tor')  # crash mid-append
+    assert [r["snapshot_id"] for r in store.snapshots()] == [s1]
+    assert _vals(store.latest(spark)) == _vals(_df(spark, [1, 1]))
+    # and the NEXT commit still lands cleanly after the torn line
+    s2 = store.write_snapshot(_df(spark, [3, 3]))
+    ids = [r["snapshot_id"] for r in store.snapshots()]
+    assert ids[-1] == s2 and s1 in ids
+    assert _vals(store.latest(spark)) == _vals(_df(spark, [3, 3]))
+
+
+def test_kind_namespaces_are_isolated(spark, tmp_path):
+    store = SnapshotStore(str(tmp_path / "store"))
+    sa = store.write_snapshot(_df(spark, [1]), kind="assignments")
+    sm = store.write_snapshot(_df(spark, [7]), kind="metrics")
+    assert [r["snapshot_id"] for r in store.snapshots("assignments")] == [sa]
+    assert [r["snapshot_id"] for r in store.snapshots("metrics")] == [sm]
+    assert _vals(store.latest(spark, "metrics")) == [(0, 7)]
