@@ -41,6 +41,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--query-points", default="1:35.0:-100.0")
     p.add_argument("--resume", action="store_true")
     p.add_argument("--snapshot-root", default=None)
+    p.add_argument(
+        "--boundaries",
+        default=None,
+        help="GeoJSON boundary file (NDJSON features or a FeatureCollection) "
+        "to assign against instead of the synthetic world; repair cascade "
+        "and antimeridian auto-split are applied on load",
+    )
     return p
 
 
@@ -74,7 +81,24 @@ def main(argv: list[str] | None = None) -> None:
 
     pages = pages_df(spark, args.sf_dir, fanout=args.fanout)
     ext = extract_pages(pages)
-    index = prep_polygons(world_polygons(), level=args.cover_level)
+    if args.boundaries:
+        from .sources.geojson import load_polygons_geojson
+
+        polys, stats = load_polygons_geojson(spark, args.boundaries)
+        mlog.log_counters(
+            run_id,
+            "boundary_import",
+            {
+                "n_features": len(stats),
+                "n_loaded": len(polys),
+                "n_renoded": sum(1 for s in stats if s["repair_method"] == "renode"),
+                "n_split": sum(1 for s in stats if s["antimeridian_split"]),
+                "n_dropped": sum(1 for s in stats if s["n_rings_out"] == 0),
+            },
+        )
+    else:
+        polys = world_polygons()
+    index = prep_polygons(polys, level=args.cover_level)
 
     if args.job == "assign":
         if args.resume:
