@@ -154,3 +154,43 @@ def test_polar_band_not_split():
     out, did = split_antimeridian([band])
     assert not did and len(out) == 1
     assert points_in_rings(np.array([0.0, 179.0]), np.array([85.0, 85.0]), out).all()
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    w_lo=st.floats(120.0, 179.0),
+    width=st.floats(2.0, 120.0),
+    la0=st.floats(-80.0, 70.0),
+    h=st.floats(1.0, 20.0),
+)
+def test_split_property_random_crossing_rects(w_lo, width, la0, h):
+    """Property: for ANY rect crossing the antimeridian, the split rings
+    contain a point iff the unwrapped ring contains its unwrapped twin
+    (lon or lon+360) — checked on a random grid away from the seam-grow
+    band (where the splitter intentionally closes the seam meridian)."""
+    hi = w_lo + width
+    if hi <= 180.5:  # must genuinely cross
+        return
+    unwrapped = np.array(
+        [[w_lo, la0], [hi, la0], [hi, la0 + h], [w_lo, la0 + h]], dtype=np.float64
+    )
+    encoded = unwrapped.copy()
+    encoded[:, 0] = np.where(encoded[:, 0] > 180.0, encoded[:, 0] - 360.0, encoded[:, 0])
+    jumps = np.abs(np.diff(np.append(encoded[:, 0], encoded[0, 0])))
+    if not (jumps > 180.0).any():  # tiny overshoot may not produce a jump
+        return
+    split, did = split_antimeridian([encoded])
+    assert did
+    rng = np.random.RandomState(int(w_lo * 7 + width * 13 + la0 * 3 + h) & 0x7FFFFFFF)
+    lon = rng.uniform(-180, 180, 3000)
+    lat = rng.uniform(la0 - 5, la0 + h + 5, 3000)
+    keep = np.abs(np.abs(lon) - 180.0) > 1e-5  # outside the seam-grow band
+    lon, lat = lon[keep], lat[keep]
+    got = points_in_rings(lon, lat, split)
+    lon_up = np.where(lon < 0, lon + 360.0, lon)
+    want = points_in_rings(lon, lat, [unwrapped]) | points_in_rings(lon_up, lat, [unwrapped])
+    assert np.array_equal(got, want)

@@ -93,6 +93,44 @@ def test_s2_hex_encoders_stay_in_codegen(spark, sf_dir):
         assert "*(1) Project" in plan
 
 
+def test_bucketed_neardup_has_no_cartesian(spark):
+    """The gated near-dup SCALE path must be an equi-join on srp_bucket —
+    no CartesianProduct / BroadcastNestedLoopJoin anywhere (the cartesian
+    shape is reserved for the explicitly-labeled exactness baseline)."""
+    from osm_notes_ingestion_spark.operators.similarity import (
+        embedding_near_dups_bucketed,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    plan = (
+        embedding_near_dups_bucketed(emb, threshold=0.999)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_knn_df_probe_join_is_broadcast(spark, sf_dir):
+    """knn_df's candidate-cell join must broadcast the (small) query-cell
+    table — the fact side joins map-side on its JVM-computed cell."""
+    from osm_notes_ingestion_spark.operators.knn import knn_df
+
+    pts = extract_pages(pages_df(spark, sf_dir)).where(F.col("has_coords"))
+    qdf = spark.createDataFrame(
+        [(1, 10.0, 10.0), (2, -20.0, 100.0)], "query_id long, qlat double, qlon double"
+    )
+    plan = (
+        knn_df(spark, pts, qdf, k=3, level=6)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_ivf_probe_join_is_broadcast(spark):
     """IVF candidate scoring must broadcast the (tiny) probe table — the
     corpus side stays put, partitioned by cent_id at scale."""
