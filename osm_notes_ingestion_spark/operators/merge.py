@@ -217,6 +217,59 @@ def guarded_watermark(
     return (max(maxes) if maxes else None), True
 
 
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str] | None = None,
+) -> DataFrame:
+    """As-of join: for each left row, the LATEST right row with
+    right_ts <= left_ts within the same `on` key (time-series
+    point-in-time lookup; the generalization of the reference's
+    "status as of" trigger reads).
+
+    Scale shape: NOT a range join (no inequality-join explosion). Both
+    sides union into one stream tagged by side, sorted per key by
+    (ts, side) — right rows sort BEFORE left rows at equal ts so a
+    same-timestamp right row is visible — then each left row picks up
+    the running `last(right value, ignorenulls)` window. ONE shuffle on
+    the key, no matter how skewed the timestamp distribution is.
+    """
+    rcols = right_cols or [c for c in right.columns if c not in (on, right_ts)]
+    l_tag = left.withColumn("_side", F.lit(1)).withColumn("_ts", F.col(left_ts)).select(
+        on, "_ts", "_side", *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in rcols], *[c for c in left.columns if c != on]
+    )
+    r_tag = right.select(
+        on,
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        *[F.col(c).alias(f"_r_{c}") for c in rcols],
+    )
+    from pyspark.sql import Window
+
+    merged = l_tag.unionByName(r_tag, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(on)
+        .orderBy("_ts", "_side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = merged.select(
+        "*",
+        *[
+            F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"_asof_{c}")
+            for c in rcols
+        ],
+    )
+    out = filled.where(F.col("_side") == 1).select(
+        on,
+        *[c for c in left.columns if c != on],
+        *[F.col(f"_asof_{c}").alias(f"asof_{c}") for c in rcols],
+    )
+    return out
+
+
 def reconcile_diff(a: DataFrame, b: DataFrame) -> DataFrame:
     """O5 monitor: symmetric EXCEPT diff of two lineages
     (sql/monitor/notesCheckVerifier-report.sql:41-120). Returns rows with

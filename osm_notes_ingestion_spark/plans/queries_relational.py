@@ -113,6 +113,80 @@ FROM sub GROUP BY user_id"""
 # ---------------------------------------------------------- dedup / upsert
 
 
+def q_asof_join(spark, sf_dir):
+    """Point-in-time (as-of) join: for each probe event (id%7=0), the
+    latest event (id%5=0) of the same user at-or-before its timestamp.
+    The operator is the single-shuffle union+last-ignore-nulls shape —
+    no inequality-join explosion; the oracle is DuckDB's native ASOF
+    LEFT JOIN (>= semantics mirrored by the _side sort tie-break)."""
+    from ..operators.merge import asof_join
+
+    ev = _events(spark, sf_dir)
+    left = ev.where(F.col("event_id") % 7 == 0).select("user_id", "event_id", "ts")
+    right = ev.where(F.col("event_id") % 5 == 0).select(
+        "user_id", F.col("event_id").alias("r_event"), "ts"
+    )
+    return asof_join(
+        left, right, on="user_id", left_ts="ts", right_ts="ts", right_cols=["r_event"]
+    ).select("user_id", "event_id", "asof_r_event")
+
+
+SQL_ASOF_JOIN = """SELECT l.user_id, l.event_id, r.r_event AS asof_r_event
+FROM (SELECT user_id, event_id, ts FROM events WHERE event_id % 7 = 0) l
+ASOF LEFT JOIN (SELECT user_id, event_id AS r_event, ts FROM events WHERE event_id % 5 = 0) r
+  ON l.user_id = r.user_id AND r.ts <= l.ts"""
+
+
+def q_streaming_status_fold(spark, sf_dir):
+    """True stateful streaming through the gate: the status state machine
+    as applyInPandasWithState, state carried across THREE ordered
+    micro-batches (one file each via maxFilesPerTrigger=1), run to
+    completion with AvailableNow into a memory sink. The settled result
+    (max-n_events row per note) must equal the batch closed-form fold —
+    which is exactly what the shared oracle states."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    from ..streaming.stateful import streaming_status_fold
+
+    ev = _mapped_events(spark, sf_dir)
+    src = tempfile.mkdtemp(prefix="stream_status_")
+    # three seq-range chunks = three ordered micro-batches (ts is monotone
+    # in seq per note, so range chunks respect per-note event order)
+    bounds = ev.agg(F.max("seq")).collect()[0][0] or 0
+    cuts = [0, bounds // 3, 2 * bounds // 3, bounds + 1]
+    for i in range(3):
+        tmp = tempfile.mkdtemp(prefix="chunk_")
+        ev.where((F.col("seq") >= cuts[i]) & (F.col("seq") < cuts[i + 1])).coalesce(
+            1
+        ).write.mode("overwrite").parquet(tmp)
+        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        dst = os.path.join(src, f"{i:04d}.parquet")
+        shutil.move(part, dst)
+        os.utime(dst, (time.time() + i, time.time() + i))  # oldest-first order
+    stream = streaming_status_fold(spark, src, ev.schema)
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("streaming_status_gate")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("note_id").orderBy(F.desc("n_events"))
+    return (
+        spark.table("streaming_status_gate")
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(F.col("note_id").alias("user_id"), "status", "closed_at")
+    )
+
+
 def q_dedup_new_rows(spark, sf_dir):
     """J2: sync-vs-base anti-join (base = event_id%3≠0, sync = event_id%2=0)."""
     ev = _events(spark, sf_dir)
@@ -322,6 +396,8 @@ QUERIES: dict[str, tuple] = {
     "status_fold": (q_status_fold, SQL_STATUS_FOLD),
     "ignored_transitions": (q_ignored_transitions, SQL_IGNORED_TRANSITIONS),
     "dedup_new_rows": (q_dedup_new_rows, SQL_DEDUP_NEW_ROWS),
+    "asof_join": (q_asof_join, SQL_ASOF_JOIN),
+    "streaming_status_fold": (q_streaming_status_fold, SQL_STATUS_FOLD),
     "upsert": (q_upsert, SQL_UPSERT),
     "existence_guard": (q_existence_guard, SQL_EXISTENCE_GUARD),
     "users_dim": (q_users_dim, SQL_USERS_DIM),

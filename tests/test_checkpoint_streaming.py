@@ -157,3 +157,53 @@ def test_streaming_equals_batch(spark, sf_dir, tmp_path):
     )
     exp = {(r.window_start, r.x, r.y): r.cnt for r in exp_df.collect()}
     assert got == exp
+
+
+def test_stateful_fold_state_crosses_batches(spark, tmp_path):
+    """applyInPandasWithState: a close in batch 0 and a reopen in batch 2
+    must compose through the state store — the settled status is 'open'
+    and intermediate updates show the interleaving."""
+    import datetime as dt
+    import glob
+    import os
+    import shutil
+    import time
+
+    from osm_notes_ingestion_spark.streaming.stateful import streaming_status_fold
+
+    t0 = dt.datetime(2020, 1, 1)
+    chunks = [
+        [(1, "closed", t0, 0), (2, "opened", t0, 1)],
+        [(1, "commented", t0 + dt.timedelta(seconds=1), 2), (2, "hidden", t0 + dt.timedelta(seconds=1), 3)],
+        [(1, "reopened", t0 + dt.timedelta(seconds=2), 4), (2, "commented", t0 + dt.timedelta(seconds=2), 5)],
+    ]
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    schema = "note_id long, event string, created_at timestamp, seq long"
+    for i, rows in enumerate(chunks):
+        tmp = str(tmp_path / f"chunk{i}")
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(tmp)
+        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        dst = os.path.join(src, f"{i:04d}.parquet")
+        shutil.move(part, dst)
+        os.utime(dst, (time.time() + i, time.time() + i))
+
+    stream = streaming_status_fold(spark, src, spark.createDataFrame([], schema).schema)
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("stateful_fold_test")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    updates = spark.table("stateful_fold_test").collect()
+    # one update per (note, batch containing that note) -> 3 per note here
+    assert len(updates) == 6
+    by_note = {}
+    for r in sorted(updates, key=lambda r: r.n_events):
+        by_note.setdefault(r.note_id, []).append(r.status)
+    # note 1: closed -> (commented keeps close) -> reopened: open settles
+    assert by_note[1] == ["close", "close", "open"]
+    # note 2: open -> hidden -> (commented keeps hidden)
+    assert by_note[2] == ["open", "hidden", "hidden"]
