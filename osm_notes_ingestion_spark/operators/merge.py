@@ -270,6 +270,51 @@ def asof_join(
     return out
 
 
+def range_join(
+    facts: DataFrame,
+    intervals: DataFrame,
+    fact_ts: str,
+    start_col: str,
+    end_col: str,
+    grain_seconds: int = 86400,
+) -> DataFrame:
+    """Interval join: fact rows × intervals with start <= ts < end —
+    WITHOUT the inequality-join explosion.
+
+    Scale shape (same idea as the polygon cell cover): each interval
+    explodes to the time-grain buckets it covers (sequence over epoch
+    buckets — intervals are the SMALL side, so the explode is cheap);
+    facts compute their bucket JVM-side; the join is an EQUI join on
+    bucket followed by the exact range filter. A fact meets an interval
+    in exactly ONE bucket (its own), so no dedup is needed. Catalyst
+    would otherwise plan ts-inequality joins as BroadcastNestedLoopJoin —
+    O(|facts|·|intervals|) — which this shape reduces to
+    O(|facts| + Σ interval_len/grain). Pick grain ≈ median interval
+    length; AQE handles bucket skew.
+    """
+    # epoch seconds: ntz → ltz (session is pinned UTC) → long; Spark
+    # refuses a direct ntz→bigint cast
+    def _epoch(c):
+        return F.col(c).cast("timestamp").cast("long")
+
+    g = F.lit(grain_seconds).cast("long")
+    iv = intervals.withColumn(
+        "_bucket",
+        F.explode(
+            F.sequence(
+                F.floor(_epoch(start_col) / g).cast("long"),
+                F.floor(_epoch(end_col) / g).cast("long"),
+            )
+        ),
+    )
+    f = facts.withColumn("_bucket", F.floor(_epoch(fact_ts) / g).cast("long"))
+    return (
+        f.join(iv, "_bucket")
+        .where((F.col(fact_ts) >= F.col(start_col)) & (F.col(fact_ts) < F.col(end_col)))
+        .drop("_bucket")
+    )
+
+
 def reconcile_diff(a: DataFrame, b: DataFrame) -> DataFrame:
     """O5 monitor: symmetric EXCEPT diff of two lineages
     (sql/monitor/notesCheckVerifier-report.sql:41-120). Returns rows with

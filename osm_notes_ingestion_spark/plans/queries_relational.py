@@ -187,6 +187,38 @@ def q_streaming_status_fold(spark, sf_dir):
     )
 
 
+def q_range_join(spark, sf_dir):
+    """Interval (range) join via time-grain bucketing: 60 overlapping
+    18-hour windows × events, start <= ts < end — equi-join on bucket +
+    exact filter (operators/merge.range_join), NOT an inequality join.
+    Oracle: the plain inequality join in DuckDB."""
+    from ..operators.merge import range_join
+
+    ev = _events(spark, sf_dir).select("event_id", "ts")
+    intervals = spark.range(60).select(
+        F.col("id").alias("interval_id"),
+        F.expr(
+            "timestamp_ntz '2024-01-01 00:00:00' + make_interval(0, 0, 0, 0, id * 12, 0, 0)"
+        ).alias("w_start"),
+        F.expr(
+            "timestamp_ntz '2024-01-01 00:00:00' + make_interval(0, 0, 0, 0, id * 12 + 18, 0, 0)"
+        ).alias("w_end"),
+    )
+    return range_join(
+        ev, intervals, fact_ts="ts", start_col="w_start", end_col="w_end", grain_seconds=6 * 3600
+    ).select("event_id", "interval_id")
+
+
+SQL_RANGE_JOIN = """SELECT e.event_id, i.interval_id
+FROM events e
+JOIN (
+  SELECT k AS interval_id,
+         TIMESTAMP '2024-01-01 00:00:00' + to_hours(k * 12) AS w_start,
+         TIMESTAMP '2024-01-01 00:00:00' + to_hours(k * 12 + 18) AS w_end
+  FROM (SELECT unnest(range(60)) AS k)
+) i ON e.ts >= i.w_start AND e.ts < i.w_end"""
+
+
 def q_dedup_new_rows(spark, sf_dir):
     """J2: sync-vs-base anti-join (base = event_id%3≠0, sync = event_id%2=0)."""
     ev = _events(spark, sf_dir)
@@ -398,6 +430,7 @@ QUERIES: dict[str, tuple] = {
     "dedup_new_rows": (q_dedup_new_rows, SQL_DEDUP_NEW_ROWS),
     "asof_join": (q_asof_join, SQL_ASOF_JOIN),
     "streaming_status_fold": (q_streaming_status_fold, SQL_STATUS_FOLD),
+    "range_join": (q_range_join, SQL_RANGE_JOIN),
     "upsert": (q_upsert, SQL_UPSERT),
     "existence_guard": (q_existence_guard, SQL_EXISTENCE_GUARD),
     "users_dim": (q_users_dim, SQL_USERS_DIM),

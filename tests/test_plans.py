@@ -131,6 +131,29 @@ def test_knn_df_probe_join_is_broadcast(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
+def test_range_join_is_equi_not_nested_loop(spark, sf_dir):
+    """The interval join must plan as an EQUI join on the time bucket
+    (the explicit scale shape) — Catalyst plans raw ts-inequality joins
+    as BroadcastNestedLoopJoin, O(|facts|*|intervals|)."""
+    from osm_notes_ingestion_spark.operators.merge import range_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select("event_id", "ts")
+    intervals = spark.range(10).selectExpr(
+        "id AS interval_id",
+        "timestamp_ntz '2024-01-01 00:00:00' + make_interval(0,0,0,0, id*12, 0, 0) AS w_start",
+        "timestamp_ntz '2024-01-01 00:00:00' + make_interval(0,0,0,0, id*12+18, 0, 0) AS w_end",
+    )
+    plan = (
+        range_join(ev, intervals, "ts", "w_start", "w_end", grain_seconds=21600)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+
+
 def test_ivf_probe_join_is_broadcast(spark):
     """IVF candidate scoring must broadcast the (tiny) probe table — the
     corpus side stays put, partitioned by cent_id at scale."""
