@@ -213,14 +213,17 @@ def assign_countries_partitioned(
     )
     cand = pts.join(cov, ["cell", "salt"], "inner")
 
+    # same non-short-circuit hazard as the broadcast path: a
+    # when(full, ...).otherwise(refine(...)) ships EVERY candidate row
+    # through Arrow — split physically instead, so only partial-cell
+    # candidates pay for Python
     refine = _make_refine_udf(spark, index.pack)
-    checked = cand.withColumn(
-        "contained",
-        F.when(F.col("full"), F.lit(True)).otherwise(
-            refine(F.col("lon"), F.col("lat"), F.array(F.col("country_id")), F.lit(NO_MATCH))
-            != F.lit(NO_MATCH)
-        ),
-    ).where(F.col("contained"))
+    full_rows = cand.where(F.col("full"))
+    partial_rows = cand.where(~F.col("full")).where(
+        refine(F.col("lon"), F.col("lat"), F.array(F.col("country_id")), F.lit(NO_MATCH))
+        != F.lit(NO_MATCH)
+    )
+    checked = full_rows.unionByName(partial_rows)
 
     winners = checked.groupBy("id").agg(
         F.min(F.struct("priority", "country_id")).alias("w")
