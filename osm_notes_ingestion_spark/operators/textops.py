@@ -162,6 +162,62 @@ def simhash(
     return agg.select(F.col(id_col), sig.cast("long").alias("simhash"))
 
 
+def simhash_near_dups(
+    signatures: DataFrame,
+    max_hamming: int = 3,
+    bits: int = 16,
+    bands: int = 4,
+    id_col: str = "doc_id",
+    sig_col: str = "simhash",
+) -> DataFrame:
+    """→ (id_a, id_b): pairs with hamming(simhash) <= max_hamming — the
+    SimHash dedup SCALE path.
+
+    Pigeonhole banding: split the signature into `bands` equal bit
+    slices; two signatures within `max_hamming` (< bands) differ in at
+    most max_hamming slices, so they MATCH EXACTLY in at least one slice
+    — candidates come from an equi-join on (band, slice_bits), never a
+    cartesian. Exact hamming (bit_count of xor, JVM-side) verifies; a
+    pair colliding in several bands dedupes via distinct. At 10^12 docs
+    the (band, slice) pair is the shuffle key — same shape as MinHash-LSH
+    banding.
+    """
+    if bands <= max_hamming:
+        raise ValueError("need bands > max_hamming for the pigeonhole guarantee")
+    width = bits // bands
+    mask = (1 << width) - 1
+    s = signatures.select(F.col(id_col).alias("_id"), F.col(sig_col).alias("_sig"))
+    banded = s.select(
+        "_id",
+        "_sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright("_sig", b * width).bitwiseAND(F.lit(mask)).alias("slice"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bs"),
+    ).select("_id", "_sig", F.col("bs.band").alias("band"), F.col("bs.slice").alias("slice"))
+    a = banded.select(
+        F.col("_id").alias("id_a"), F.col("_sig").alias("sig_a"), "band", "slice"
+    )
+    b = banded.select(
+        F.col("_id").alias("id_b"), F.col("_sig").alias("sig_b"), "band", "slice"
+    )
+    ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (
+        a.join(b, ["band", "slice"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(ham <= max_hamming)
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
 # language-ID markers: deterministic rule heuristic (parity with SQL
 # oracle is the contract; linguistic accuracy is a stub concern — real
 # deployments swap the marker table)

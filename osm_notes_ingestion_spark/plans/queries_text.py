@@ -182,6 +182,36 @@ SQL_SIMHASH = f"WITH {SQL_CORPUS}, {_sql_simhash_bits()}"
 # ----------------------------------------------------------- language / QA
 
 
+def q_simhash_near_dups(spark, sf_dir):
+    """SimHash dedup scale path: pigeonhole banding (4×4-bit slices) →
+    equi-join candidates → exact hamming ≤ 3 verify. Oracle mirrors the
+    banding exactly — same slices, same bit ops."""
+    from ..operators.textops import simhash_near_dups
+
+    return simhash_near_dups(simhash(_corpus(spark, sf_dir)), max_hamming=3)
+
+
+def _sql_simhash_near_dups(bits: int = 16, bands: int = 4, max_hamming: int = 3) -> str:
+    width = bits // bands
+    mask = (1 << width) - 1
+    slices = ", ".join(f"({b}, (simhash >> {b * width}) & {mask})" for b in range(bands))
+    # _sql_simhash_bits() = "toks AS (...), th AS (...), bitsums AS (...)
+    # SELECT <sig> FROM bitsums" — wrap its final SELECT as a CTE
+    cte_chain, final_select = _sql_simhash_bits().rsplit("\nSELECT ", 1)
+    return f"""WITH {SQL_CORPUS}, {cte_chain},
+sigs AS (SELECT {final_select}),
+banded AS (
+  SELECT doc_id, simhash, band, slice
+  FROM sigs, LATERAL (VALUES {slices}) t(band, slice)
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM banded a JOIN banded b ON a.band = b.band AND a.slice = b.slice AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}"""
+
+
+SQL_SIMHASH_NEAR_DUPS = _sql_simhash_near_dups()
+
+
 def q_lang_id(spark, sf_dir):
     return lang_id(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
@@ -432,6 +462,7 @@ QUERIES: dict[str, tuple] = {
     "dedup_jaccard": (q_dedup_jaccard, SQL_DEDUP_JACCARD),
     "dedup_minhash_lsh": (q_dedup_minhash_lsh, SQL_DEDUP_MINHASH),
     "simhash": (q_simhash, SQL_SIMHASH),
+    "simhash_near_dups": (q_simhash_near_dups, SQL_SIMHASH_NEAR_DUPS),
     "lang_id": (q_lang_id, SQL_LANG_ID),
     "quality_features": (q_quality, SQL_QUALITY),
     "fingerprint": (q_fingerprint, SQL_FINGERPRINT),
