@@ -264,6 +264,30 @@ SELECT query_id, rank, id, d2 FROM (
 ) WHERE rank <= 3"""
 
 
+def q_haversine(spark, sf_dir):
+    """F-family geo scalar: great-circle distance (meters, floored to an
+    integer for cross-engine hashing) from every coord page to the
+    Diamond centroid (0°N 60°E) — identical op order both engines."""
+    from ..functions.geodesy import haversine_m
+
+    pts = _extracted(spark, sf_dir).where(F.col("has_coords"))
+    return pts.select(
+        "id",
+        F.floor(haversine_m(F.col("lat"), F.col("lon"), F.lit(0.0), F.lit(60.0)))
+        .cast("long")
+        .alias("dist_m"),
+    )
+
+
+def _sql_haversine() -> str:
+    from ..functions.geodesy import haversine_sql
+
+    d = haversine_sql("(lat_e6/1000000.0)", "(lon_e6/1000000.0)", "0.0", "60.0")
+    return f"""{_PTS_CTE}
+SELECT id, CAST(floor({d}) AS BIGINT) AS dist_m
+FROM pts WHERE u < 90000"""
+
+
 def q_assign_country_salted(spark, sf_dir):
     """The explicit shuffle+salt variant (assign_countries_partitioned) —
     same oracle as the broadcast path; pins that skew handling doesn't
@@ -529,4 +553,5 @@ QUERIES: dict[str, tuple] = {
     "s2_cells": (q_s2_cells, _sql_s2_cells()),
     "s2_rollup": (q_s2_rollup, _sql_s2_rollup()),
     "hex_cells": (q_hex_cells, _sql_hex_cells()),
+    "haversine": (q_haversine, _sql_haversine()),
 }
