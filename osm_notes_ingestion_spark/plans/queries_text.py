@@ -252,6 +252,30 @@ SQL_QUALITY = """SELECT doc_id,
 FROM documents"""
 
 
+def q_token_percentiles(spark, sf_dir):
+    """Aggregation-family depth: exact p50/p95/p99 of per-doc token
+    counts by (lang, source) — Spark's exact `percentile` (continuous
+    interpolation) against DuckDB's quantile_cont, rounded to 4 dp."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ntok = F.size(F.split(F.col("text"), " ")).cast("double")
+    return (
+        docs.groupBy("lang", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.percentile(ntok, F.lit(0.5)), 4).alias("p50_tokens"),
+            F.round(F.percentile(ntok, F.lit(0.95)), 4).alias("p95_tokens"),
+            F.round(F.percentile(ntok, F.lit(0.99)), 4).alias("p99_tokens"),
+        )
+    )
+
+
+SQL_TOKEN_PERCENTILES = """SELECT lang, source, count(*) AS n_docs,
+  round(quantile_cont(CAST(len(string_split(text, ' ')) AS DOUBLE), 0.5), 4) AS p50_tokens,
+  round(quantile_cont(CAST(len(string_split(text, ' ')) AS DOUBLE), 0.95), 4) AS p95_tokens,
+  round(quantile_cont(CAST(len(string_split(text, ' ')) AS DOUBLE), 0.99), 4) AS p99_tokens
+FROM documents GROUP BY lang, source"""
+
+
 def q_fingerprint(spark, sf_dir):
     return fingerprint(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
@@ -466,6 +490,7 @@ QUERIES: dict[str, tuple] = {
     "lang_id": (q_lang_id, SQL_LANG_ID),
     "quality_features": (q_quality, SQL_QUALITY),
     "fingerprint": (q_fingerprint, SQL_FINGERPRINT),
+    "token_percentiles": (q_token_percentiles, SQL_TOKEN_PERCENTILES),
     "embed_topk": (q_embed_topk, SQL_EMBED_TOPK),
     "embed_neardup": (q_embed_neardup, SQL_EMBED_NEARDUP),
     "embed_neardup_bucketed": (q_embed_neardup_bucketed, SQL_EMBED_NEARDUP_BUCKETED),
