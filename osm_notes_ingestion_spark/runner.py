@@ -29,7 +29,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument(
         "--job",
         required=True,
-        choices=["assign", "fused", "tiles", "knn", "incremental", "dedup"],
+        choices=["assign", "fused", "tiles", "knn", "knn_bulk", "incremental", "dedup"],
     )
     p.add_argument("--sf-dir", required=True)
     p.add_argument("--output", required=True)
@@ -39,6 +39,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--min-zoom", type=int, default=0)
     p.add_argument("--k", type=int, default=5)
     p.add_argument("--query-points", default="1:35.0:-100.0")
+    p.add_argument(
+        "--query-parquet",
+        default=None,
+        help="parquet of (query_id, qlat, qlon) for --job knn_bulk "
+        "(DataFrame-scale query sets via knn_df)",
+    )
     p.add_argument("--resume", action="store_true")
     p.add_argument("--snapshot-root", default=None)
     p.add_argument(
@@ -135,6 +141,15 @@ def main(argv: list[str] | None = None) -> None:
         ]
         res = knn(spark, ext.where(F.col("has_coords")), queries, k=args.k)
         res.write.mode("overwrite").parquet(f"{args.output}/knn")
+    elif args.job == "knn_bulk":
+        from .operators.knn import knn_df
+
+        if not args.query_parquet:
+            raise SystemExit("--job knn_bulk requires --query-parquet")
+        qdf = spark.read.parquet(args.query_parquet)
+        res = knn_df(spark, ext.where(F.col("has_coords")), qdf, k=args.k)
+        res.write.mode("overwrite").parquet(f"{args.output}/knn")
+        mlog.log_counters(run_id, "knn_bulk", {"n_queries": qdf.count()})
     elif args.job == "dedup":
         # training-data pipeline: exact dedup table + MinHash-LSH near-dup
         # pairs over the documents corpus

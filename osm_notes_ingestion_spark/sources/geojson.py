@@ -83,13 +83,19 @@ def read_geojson_features(
     id_prop: str = "country_id",
     priority_prop: str = "priority",
     name_prop: str = "name",
+    on_error: str = "fail",
 ) -> DataFrame:
     """NDJSON Features → one row per ring (distributed parse).
 
     Tolerates JSON-array framing noise (lines that are '[' / ']' or have
     trailing commas) so a pretty-printed feature-per-line array also
-    loads.
-    """
+    loads. on_error: 'fail' raises on a malformed feature line (default —
+    a corrupt boundary file should stop the build); 'skip' drops it and
+    emits a sentinel row (country_id = -1, name = the first 120 chars of
+    the bad line) so the loader's stats surface the skip count instead of
+    losing it silently."""
+    if on_error not in ("fail", "skip"):
+        raise ValueError(f"unknown on_error {on_error!r}")
     lines = spark.read.text(path)
 
     def parse(batches):
@@ -99,8 +105,13 @@ def read_geojson_features(
                 s = (line or "").strip().rstrip(",")
                 if not s or s in ("[", "]"):
                     continue
-                feat = json.loads(s)
-                rows.extend(_feature_ring_rows(feat, id_prop, priority_prop, name_prop))
+                try:
+                    feat = json.loads(s)
+                    rows.extend(_feature_ring_rows(feat, id_prop, priority_prop, name_prop))
+                except (ValueError, KeyError, TypeError):
+                    if on_error == "fail":
+                        raise
+                    rows.append((-1, 0, s[:120], 0, 0, [], []))
             yield pd.DataFrame(
                 rows, columns=["country_id", "priority", "name", "part", "ring", "lons", "lats"]
             )
@@ -188,6 +199,7 @@ def load_polygons_geojson(
     name_prop: str = "name",
     autosplit: bool = True,
     repair: bool = True,
+    on_error: str = "fail",
 ) -> tuple[list[dict], list[dict]]:
     """GeoJSON (NDJSON features or a FeatureCollection file) →
     ([{country_id, priority, name, rings}], per-feature stats).
@@ -213,8 +225,13 @@ def load_polygons_geojson(
     else:
         raw_rows = [
             (r.country_id, r.priority, r.name, r.part, r.ring, list(r.lons), list(r.lats))
-            for r in read_geojson_features(spark, path, id_prop, priority_prop, name_prop).collect()
+            for r in read_geojson_features(
+                spark, path, id_prop, priority_prop, name_prop, on_error=on_error
+            ).collect()
         ]
+
+    skipped = [r for r in raw_rows if r[0] == -1 and not r[5]]
+    raw_rows = [r for r in raw_rows if not (r[0] == -1 and not r[5])]
 
     by_feature: dict[int, dict] = {}
     for cid, prio, name, part, ring_i, lons, lats in sorted(
@@ -249,6 +266,17 @@ def load_polygons_geojson(
         if not rings:
             continue
         polys.append({**entry, "rings": rings})
+    for bad in skipped:
+        stats.append(
+            {
+                "country_id": None,
+                "n_rings_in": 0,
+                "n_rings_out": 0,
+                "repair_method": "skipped_parse_error",
+                "antimeridian_split": False,
+                "bad_line_head": bad[2],
+            }
+        )
     return polys, stats
 
 

@@ -194,3 +194,21 @@ def test_split_property_random_crossing_rects(w_lo, width, la0, h):
     lon_up = np.where(lon < 0, lon + 360.0, lon)
     want = points_in_rings(lon, lat, [unwrapped]) | points_in_rings(lon_up, lat, [unwrapped])
     assert np.array_equal(got, want)
+
+
+def test_loader_on_error_skip_counts_bad_lines(spark, tmp_path, fixture_path):
+    """on_error='skip' drops malformed lines but SURFACES them in stats;
+    the default 'fail' raises."""
+    bad = os.path.join(tmp_path, "bad.jsonl")
+    with open(fixture_path) as fh:
+        content = fh.read()
+    with open(bad, "w") as fh:
+        fh.write(content)
+        fh.write('{"type": "Feature", "properties": {BROKEN\n')
+    polys_ok, _ = load_polygons_geojson(spark, fixture_path)
+    polys, stats = load_polygons_geojson(spark, bad, on_error="skip")
+    assert len(polys) == len(polys_ok)
+    skipped = [s for s in stats if s["repair_method"] == "skipped_parse_error"]
+    assert len(skipped) == 1 and "BROKEN" in skipped[0]["bad_line_head"]
+    with pytest.raises(Exception):
+        load_polygons_geojson(spark, bad)  # default on_error='fail'
