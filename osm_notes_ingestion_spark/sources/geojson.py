@@ -208,6 +208,13 @@ def load_polygons_geojson(
     antimeridian_split} — the loader twin of the reference's boundary
     import log (functionsProcess.sh:1891-1989 logs which repair step
     fired per boundary).
+
+    Multiple features sharing one country_id merge into a single
+    even-odd ring group: correct for DISJOINT parts (islands as separate
+    Features — parity of disjoint rings is their union), but two
+    OVERLAPPING features with the same id would parity-cancel in the
+    overlap; de-duplicate upstream if your source emits those (admin-0
+    sources emit one (Multi)Polygon feature per country).
     """
     head = ""
     try:
