@@ -23,7 +23,9 @@ def haversine_m(lat1: Column, lon1: Column, lat2: Column, lon2: Column) -> Colum
     dp = F.radians(lat2 - lat1)
     dl = F.radians(lon2 - lon1)
     a = F.sin(dp / 2) * F.sin(dp / 2) + F.cos(p1) * F.cos(p2) * F.sin(dl / 2) * F.sin(dl / 2)
-    return F.lit(2.0 * EARTH_RADIUS_M) * F.asin(F.sqrt(a))
+    # near-antipodal rounding can push a infinitesimally above 1, making
+    # asin(sqrt(a)) NaN (and ANSI casts on it throw) — clamp
+    return F.lit(2.0 * EARTH_RADIUS_M) * F.asin(F.sqrt(F.least(a, F.lit(1.0))))
 
 
 def haversine_sql(lat1: str, lon1: str, lat2: str, lon2: str) -> str:
@@ -36,4 +38,4 @@ def haversine_sql(lat1: str, lon1: str, lat2: str, lon2: str) -> str:
         f"(sin({dp} / 2) * sin({dp} / 2) + "
         f"cos({p1}) * cos({p2}) * sin({dl} / 2) * sin({dl} / 2))"
     )
-    return f"(2.0 * {EARTH_RADIUS_M!r} * asin(sqrt({a})))"
+    return f"(2.0 * {EARTH_RADIUS_M!r} * asin(sqrt(least({a}, 1.0))))"

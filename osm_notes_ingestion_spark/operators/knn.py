@@ -175,6 +175,9 @@ def knn_df(
             .withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k)
             .select("query_id", F.col("rank").cast("long").alias("rank"), "id", "d2")
+            .cache()  # ≤ k rows/query: convergence stats AND the final
+            # union both read it — without the cache the expensive
+            # join+window would run twice per iteration
         )
         stats = topk.groupBy("query_id").agg(
             F.count("*").alias("_nn"), F.max("d2").alias("_maxd2")

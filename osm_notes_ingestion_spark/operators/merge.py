@@ -238,14 +238,26 @@ def asof_join(
     the key, no matter how skewed the timestamp distribution is.
     """
     rcols = right_cols or [c for c in right.columns if c not in (on, right_ts)]
+    # right rows carry their values inside ONE struct (non-null even when
+    # every field is null) so last(ignorenulls) picks the latest right
+    # ROW — a right row whose value is legitimately NULL must yield NULL,
+    # not fall through to an older row, and multiple right_cols must all
+    # come from the SAME row
+    rstruct_type = (
+        "struct<" + ",".join(f"{c}:{right.schema[c].dataType.simpleString()}" for c in rcols) + ">"
+    )
     l_tag = left.withColumn("_side", F.lit(1)).withColumn("_ts", F.col(left_ts)).select(
-        on, "_ts", "_side", *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in rcols], *[c for c in left.columns if c != on]
+        on,
+        "_ts",
+        "_side",
+        F.lit(None).cast(rstruct_type).alias("_rrow"),
+        *[c for c in left.columns if c != on],
     )
     r_tag = right.select(
         on,
         F.col(right_ts).alias("_ts"),
         F.lit(0).alias("_side"),
-        *[F.col(c).alias(f"_r_{c}") for c in rcols],
+        F.struct(*[F.col(c).alias(c) for c in rcols]).alias("_rrow"),
     )
     from pyspark.sql import Window
 
@@ -255,17 +267,17 @@ def asof_join(
         .orderBy("_ts", "_side")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    filled = merged.select(
-        "*",
-        *[
-            F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"_asof_{c}")
-            for c in rcols
-        ],
-    )
+    filled = merged.withColumn("_asof", F.last("_rrow", ignorenulls=True).over(w))
+    # join semantics: a NULL key never matches (the window would lump all
+    # null-keyed rows into one partition) — mask the pickup for null keys
+    key_ok = F.col(on).isNotNull()
     out = filled.where(F.col("_side") == 1).select(
         on,
         *[c for c in left.columns if c != on],
-        *[F.col(f"_asof_{c}").alias(f"asof_{c}") for c in rcols],
+        *[
+            F.when(key_ok, F.col(f"_asof.{c}")).alias(f"asof_{c}")
+            for c in rcols
+        ],
     )
     return out
 
@@ -298,20 +310,37 @@ def range_join(
         return F.col(c).cast("timestamp").cast("long")
 
     g = F.lit(grain_seconds).cast("long")
-    iv = intervals.withColumn(
+    # interval columns that clash with fact column names get an _iv_
+    # prefix (except the range bounds, renamed explicitly) so the exact
+    # filter below is never ambiguous
+    clashes = (set(intervals.columns) & set(facts.columns)) | {start_col, end_col}
+    iv_cols = [
+        F.col(c).alias(f"_iv_{c}") if c in clashes else F.col(c) for c in intervals.columns
+    ]
+    iv = intervals.select(*iv_cols).withColumn(
         "_bucket",
         F.explode(
             F.sequence(
-                F.floor(_epoch(start_col) / g).cast("long"),
-                F.floor(_epoch(end_col) / g).cast("long"),
+                F.floor(_epoch(f"_iv_{start_col}") / g).cast("long"),
+                F.floor(_epoch(f"_iv_{end_col}") / g).cast("long"),
             )
         ),
     )
     f = facts.withColumn("_bucket", F.floor(_epoch(fact_ts) / g).cast("long"))
     return (
         f.join(iv, "_bucket")
-        .where((F.col(fact_ts) >= F.col(start_col)) & (F.col(fact_ts) < F.col(end_col)))
+        .where(
+            (F.col(fact_ts) >= F.col(f"_iv_{start_col}"))
+            & (F.col(fact_ts) < F.col(f"_iv_{end_col}"))
+        )
         .drop("_bucket")
+        .withColumnsRenamed(
+            {
+                f"_iv_{c}": c
+                for c in (start_col, end_col)
+                if c not in facts.columns  # keep the prefix if it would clash
+            }
+        )
     )
 
 

@@ -402,7 +402,9 @@ _SQL_COS = (
 SQL_EMBED_TOPK_IVF = f"""WITH c AS (
   SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
 ), cents AS (
-  SELECT vec_id AS cent_id, v AS cv FROM c WHERE vec_id < 16
+  -- mirrors the engine exactly: FIRST nlist corpus vectors BY ID ORDER
+  -- (not id<16, which diverges on sparse/offset id spaces)
+  SELECT vec_id AS cent_id, v AS cv FROM c ORDER BY vec_id LIMIT 16
 ), assigned AS (
   SELECT vec_id, v, cent_id FROM (
     SELECT c.vec_id, c.v, cents.cent_id,

@@ -82,10 +82,22 @@ class SnapshotStore:
         return spark.read.parquet(snaps[-1]["path"])
 
     def read_snapshot(self, spark: SparkSession, snapshot_id: str) -> DataFrame:
-        """Time travel by snapshot id (≈ Iceberg `VERSION AS OF`)."""
-        for r in self.snapshots(kind=snapshot_id.split("-")[0]):
-            if r["snapshot_id"] == snapshot_id:
-                return spark.read.parquet(r["path"])
+        """Time travel by snapshot id (≈ Iceberg `VERSION AS OF`).
+
+        Ids are globally unique, so the manifest is scanned directly —
+        re-deriving the kind from the id would break for hyphenated
+        kinds (write_snapshot accepts arbitrary kind strings)."""
+        if os.path.exists(self.manifest):
+            with open(self.manifest) as f:
+                for line in f:
+                    if not line.strip():
+                        continue
+                    try:
+                        r = json.loads(line)
+                    except json.JSONDecodeError:
+                        continue
+                    if r.get("snapshot_id") == snapshot_id:
+                        return spark.read.parquet(r["path"])
         raise KeyError(f"unknown snapshot {snapshot_id!r}")
 
 

@@ -216,19 +216,47 @@ def load_polygons_geojson(
     overlap; de-duplicate upstream if your source emits those (admin-0
     sources emit one (Multi)Polygon feature per country).
     """
-    head = ""
+    # format detection by PARSING, not substring sniffing: try the first
+    # non-empty line as standalone JSON — a Feature (or single-line FC)
+    # decides the format; an unparseable first line means a multi-line
+    # document → whole-file parse. (A name like "FeatureCollection
+    # Export" inside an NDJSON feature must not misroute it.)
+    doc = None
+    local = path.removeprefix("file:")
     try:
-        with open(path.removeprefix("file:")) as fh:
-            head = fh.read(512)
+        with open(local) as fh:
+            first = ""
+            for line in fh:
+                s = line.strip().rstrip(",")
+                if s and s not in ("[", "]"):
+                    first = s
+                    break
+        try:
+            head_obj = json.loads(first) if first else None
+        except ValueError:
+            head_obj = None
+        if head_obj is None or (
+            isinstance(head_obj, dict) and head_obj.get("type") == "FeatureCollection"
+        ):
+            try:
+                with open(local) as fh:
+                    doc = json.load(fh)
+            except ValueError:
+                doc = None  # not a JSON document → NDJSON path (+ on_error)
+            if not (isinstance(doc, dict) and doc.get("type") == "FeatureCollection"):
+                doc = None
     except OSError:
-        pass
-    if '"FeatureCollection"' in head:
+        pass  # non-local path (object store) → NDJSON via Spark below
+    if doc is not None:
         # single-document collection: a build artifact, parsed driver-side
-        with open(path.removeprefix("file:")) as fh:
-            doc = json.load(fh)
         raw_rows = []
         for feat in doc.get("features", []):
-            raw_rows.extend(_feature_ring_rows(feat, id_prop, priority_prop, name_prop))
+            try:
+                raw_rows.extend(_feature_ring_rows(feat, id_prop, priority_prop, name_prop))
+            except (ValueError, KeyError, TypeError):
+                if on_error == "fail":
+                    raise
+                raw_rows.append((-1, 0, json.dumps(feat)[:120], 0, 0, [], []))
     else:
         raw_rows = [
             (r.country_id, r.priority, r.name, r.part, r.ring, list(r.lons), list(r.lats))

@@ -82,7 +82,10 @@ class IncrementalRunner:
         if full_resync:
             batch = pages  # recompute everything (planet-resync analog)
 
-        ext = extract_pages(batch)
+        # several actions read the extracted batch (assignment, snapshot
+        # write, health gates, integrity gap) — persist so the Arrow
+        # extraction pass runs once, not once per action
+        ext = extract_pages(batch).persist()
         assigned = assign_countries(self.spark, ext, self.index).select("id", "country_id")
 
         prev = self.store.latest(self.spark)
@@ -121,6 +124,7 @@ class IncrementalRunner:
         )
         if advanced:
             self.watermark = max(filter(None, [self.watermark, gates.maxts]))
+        ext.unpersist()
         return IncrementalResult(
             n_input, n_assigned, before, self.watermark, advanced, full_resync, gap_pct
         )
