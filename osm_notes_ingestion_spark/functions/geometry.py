@@ -293,7 +293,7 @@ def repair_rings(rings: list[np.ndarray]) -> tuple[list[np.ndarray], str]:
     'dropped'} for the metrics table.
     """
     out: list[np.ndarray] = []
-    method = "clean"
+    used: set[str] = set()
     for ring in rings:
         r = np.asarray(ring, dtype=np.float64)
         if len(r) >= 2 and np.array_equal(r[0], r[-1]):
@@ -303,19 +303,30 @@ def repair_rings(rings: list[np.ndarray]) -> tuple[list[np.ndarray], str]:
             keep[1:] = ~(r[1:] == r[:-1]).all(axis=1)
             r = r[keep]
         if len(np.unique(r, axis=0)) < 3:
-            method = "dropped"
+            used.add("dropped")
             continue
         if _ring_self_intersects(r):
             parts = _renode_ring(r)
             if parts is not None:
                 out.extend(parts)
-                method = "renode"
+                used.add("renode")
                 continue
             r = _convex_hull(r)
-            method = "hull"
+            used.add("hull")
         out.append(r)
+    # per-feature method = most severe action across rings (a single
+    # last-writer-wins value mis-reported mixed repairs, which fed wrong
+    # boundary_import counters)
     if not out:
         method = "dropped"
+    elif "hull" in used:
+        method = "hull"
+    elif "renode" in used:
+        method = "renode"
+    elif "dropped" in used:
+        method = "partial_drop"
+    else:
+        method = "clean"
     return out, method
 
 

@@ -21,11 +21,10 @@ density-informed initial radius this converges in 1–2 iterations.
 
 from __future__ import annotations
 
-import numpy as np
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.cells import cell_col, encode, k_ring
+from ..functions.cells import cell_col
 
 
 def knn(
@@ -39,53 +38,26 @@ def knn(
     lat_col: str = "lat",
     lon_col: str = "lon",
 ) -> DataFrame:
-    """→ (query_id, rank, id, d2) — the k nearest points per query."""
-    # the projected point index (id, µdeg coords, cell) is what a real
-    # deployment materializes as a table; the ring-expansion loop may scan
-    # it several times, so cache the projection — never the raw pages
-    pts = points.where(F.col(lat_col).isNotNull()).select(
-        F.col(id_col).alias("id"),
-        F.round(F.col(lat_col) * 1e6).cast("long").alias("plat"),
-        F.round(F.col(lon_col) * 1e6).cast("long").alias("plon"),
-        cell_col(F.col(lat_col), F.col(lon_col), level).alias("cell"),
-    ).cache()
-    n = 1 << level
-    cell_h_e6 = 180.0 / n * 1e6
+    """→ (query_id, rank, id, d2) — the k nearest points per query.
 
-    radius = initial_radius
-    qids = np.array([q[0] for q in queries], dtype=np.int64)
-    qlats = np.array([q[1] for q in queries], dtype=np.float64)
-    qlons = np.array([q[2] for q in queries], dtype=np.float64)
-    qcells = encode(qlats, qlons, level)
-
-    while True:
-        rows = []
-        for qid, qlat, qlon, qc in zip(qids, qlats, qlons, qcells):
-            for c in k_ring(int(qc), radius).tolist():
-                rows.append((int(qid), int(round(qlat * 1e6)), int(round(qlon * 1e6)), c))
-        qdf = spark.createDataFrame(rows, "query_id long, qlat long, qlon long, cell long")
-
-        dlon = F.abs(F.col("plon") - F.col("qlon"))
-        dlon = F.least(dlon, F.lit(360_000_000) - dlon)
-        d2 = (F.col("plat") - F.col("qlat")) * (F.col("plat") - F.col("qlat")) + dlon * dlon
-        w = Window.partitionBy("query_id").orderBy("d2", "id")
-        topk = (
-            pts.join(F.broadcast(qdf), "cell", "inner")
-            .withColumn("d2", d2)
-            .withColumn("rank", F.row_number().over(w))
-            .where(F.col("rank") <= k)
-            .select("query_id", "rank", "id", "d2")
-        )
-        got = topk.groupBy("query_id").agg(F.count("*").alias("n"), F.max("d2").alias("maxd2"))
-        stats = {r.query_id: (r.n, r.maxd2) for r in got.collect()}
-        # conservative: −1 µdeg absorbs the e6 rounding of point coords
-        bound = max(radius * cell_h_e6 - 1.0, 0.0) ** 2
-        ok = all(
-            qid in stats and stats[qid][0] >= k and stats[qid][1] < bound for qid in qids.tolist()
-        )
-        if ok or radius >= n:  # whole world covered → exact by exhaustion
-            return topk
-        radius *= 2
+    Driver-list convenience wrapper over `knn_df` (ONE implementation of
+    the metric, ranking, and convergence bound — keeping a second copy in
+    sync by hand is how the two would silently diverge)."""
+    qdf = spark.createDataFrame(
+        [(int(q[0]), float(q[1]), float(q[2])) for q in queries],
+        "query_id long, qlat double, qlon double",
+    )
+    return knn_df(
+        spark,
+        points,
+        qdf,
+        k=k,
+        level=level,
+        initial_radius=initial_radius,
+        id_col=id_col,
+        lat_col=lat_col,
+        lon_col=lon_col,
+    )
 
 
 def knn_df(
@@ -194,12 +166,18 @@ def knn_df(
         )
         done_ids = conv.where(F.col("_ok")).select("query_id")
         results.append(topk.join(F.broadcast(done_ids), "query_id", "inner"))
+        prev_q = q
         q = (
             conv.where(~F.col("_ok"))
             .select("query_id", "qlat", "qlon", "qx", "qy", (F.col("radius") * 2).alias("radius"))
             .cache()
         )
-        if q.count() == 0:  # driver-side scalar — the loop's only collect
+        remaining = q.count()  # driver-side scalar — the loop's only collect
+        # the count() above materialized the new q AND (via stats) this
+        # iteration's cached topk — the superseded q is no longer needed
+        # (eviction of a topk partition would just recompute through it)
+        prev_q.unpersist(blocking=False)
+        if remaining == 0:
             break
 
     out = results[0]
@@ -236,5 +214,5 @@ def knn_brute_force(
         .withColumn("d2", d2)
         .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
-        .select("query_id", "rank", "id", "d2")
+        .select("query_id", F.col("rank").cast("long").alias("rank"), "id", "d2")
     )

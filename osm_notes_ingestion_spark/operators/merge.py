@@ -238,6 +238,14 @@ def asof_join(
     the key, no matter how skewed the timestamp distribution is.
     """
     rcols = right_cols or [c for c in right.columns if c not in (on, right_ts)]
+    reserved = {"_ts", "_side", "_rrow", "_asof"} | {f"asof_{c}" for c in rcols}
+    clash = reserved & (set(left.columns) | set(right.columns))
+    if clash:
+        raise ValueError(f"asof_join reserved column names in input: {sorted(clash)}")
+    # a NULL right_ts never satisfies r.ts <= l.ts — drop those rows up
+    # front (nulls-first ordering would otherwise make them look EARLIEST
+    # and leak into every pickup)
+    right = right.where(F.col(right_ts).isNotNull())
     # right rows carry their values inside ONE struct (non-null even when
     # every field is null) so last(ignorenulls) picks the latest right
     # ROW — a right row whose value is legitimately NULL must yield NULL,

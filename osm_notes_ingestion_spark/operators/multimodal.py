@@ -72,17 +72,31 @@ def extract_media_metadata(
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         resolved = _probe_decoder() if decoder == "auto" else decoder
-        decode = _decode_pil if resolved == "pil" else _decode_stub
+
+        def decode_row(payload):
+            # per-ROW resolution: in auto mode an undecodable payload
+            # (corrupt image, non-image bytes) falls back to the stub and
+            # says so in its decoder value instead of killing the job;
+            # an explicitly demanded 'pil' still fails loudly
+            if resolved == "pil":
+                if decoder == "pil":
+                    return (*_decode_pil(payload), "pil")
+                try:
+                    return (*_decode_pil(payload), "pil")
+                except Exception:
+                    return (*_decode_stub(payload), "stub")
+            return (*_decode_stub(payload), "stub")
+
         for pdf in it:
             payloads = pdf[payload_col]
-            dims = payloads.apply(decode)
+            dims = payloads.apply(decode_row)
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col],
                     "n_bytes": payloads.str.len().astype("int64"),
                     "width": dims.str[0].astype("int64"),
                     "height": dims.str[1].astype("int64"),
-                    "decoder": resolved,
+                    "decoder": dims.str[2],
                 }
             )
 

@@ -91,15 +91,20 @@ def main(argv: list[str] | None = None) -> None:
         from .sources.geojson import load_polygons_geojson
 
         polys, stats = load_polygons_geojson(spark, args.boundaries)
+        feats = [s for s in stats if s["repair_method"] != "skipped_parse_error"]
         mlog.log_counters(
             run_id,
             "boundary_import",
             {
-                "n_features": len(stats),
+                "n_features": len(feats),
                 "n_loaded": len(polys),
-                "n_renoded": sum(1 for s in stats if s["repair_method"] == "renode"),
-                "n_split": sum(1 for s in stats if s["antimeridian_split"]),
-                "n_dropped": sum(1 for s in stats if s["n_rings_out"] == 0),
+                "n_renoded": sum(1 for s in feats if s["repair_method"] == "renode"),
+                "n_split": sum(1 for s in feats if s["antimeridian_split"]),
+                "n_dropped": sum(1 for s in feats if s["n_rings_out"] == 0),
+                "n_partial_drop": sum(
+                    1 for s in feats if s["repair_method"] == "partial_drop"
+                ),
+                "n_skipped_lines": len(stats) - len(feats),
             },
         )
     else:

@@ -45,35 +45,48 @@ class SnapshotStore:
         path = os.path.join(self.root, snap_id)
         df.write.mode("overwrite").parquet(path)
         rec = {"snapshot_id": snap_id, "kind": kind, "path": path, "committed_at": time.time()}
-        with open(self.manifest, "ab") as f:
-            # heal a torn tail first: if a previous writer crashed mid-line
-            # (no trailing newline), appending directly would merge this
-            # commit into the torn line and lose BOTH — newline-terminate
-            # the wreckage so this commit parses on its own line
-            if f.tell() > 0:
-                with open(self.manifest, "rb") as rf:
-                    rf.seek(-1, os.SEEK_END)
-                    if rf.read(1) != b"\n":
-                        f.write(b"\n")
-            f.write((json.dumps(rec) + "\n").encode())
+        # heal a torn tail first: a previous writer that crashed mid-line
+        # left an unterminated partial record (provably uncommitted — the
+        # newline IS the commit). Truncate it back to the last complete
+        # line; appending directly would merge this commit into the
+        # wreckage and lose BOTH.
+        if os.path.exists(self.manifest) and os.path.getsize(self.manifest) > 0:
+            with open(self.manifest, "r+b") as f:
+                f.seek(-1, os.SEEK_END)
+                if f.read(1) != b"\n":
+                    data = open(self.manifest, "rb").read()
+                    keep = data.rfind(b"\n") + 1  # 0 when no newline at all
+                    f.truncate(keep)
+        with open(self.manifest, "a") as f:
+            f.write(json.dumps(rec) + "\n")
         return snap_id
 
-    def snapshots(self, kind: str = "assignments") -> list[dict]:
+    def _records(self) -> list[dict]:
+        """All committed manifest records.
+
+        ONLY a torn FINAL line (crash mid-append — the commit never
+        happened) is skipped; an undecodable line anywhere else is real
+        corruption and must raise rather than silently rolling the table
+        back to an older snapshot."""
         if not os.path.exists(self.manifest):
             return []
-        recs = []
         with open(self.manifest) as f:
-            for line in f:
-                if not line.strip():
-                    continue
-                try:
-                    recs.append(json.loads(line))
-                except json.JSONDecodeError:
-                    # torn trailing line from a crash mid-append: the
-                    # commit never happened — ignore it (commit = the
-                    # complete manifest line, nothing less)
-                    continue
-        return [r for r in recs if r["kind"] == kind]
+            lines = [ln for ln in f if ln.strip()]
+        recs = []
+        for i, line in enumerate(lines):
+            try:
+                recs.append(json.loads(line))
+            except json.JSONDecodeError:
+                if i == len(lines) - 1:
+                    continue  # torn trailing append = no commit
+                raise ValueError(
+                    f"snapshot manifest corrupted at line {i + 1} (not the "
+                    f"trailing line): {self.manifest}"
+                )
+        return recs
+
+    def snapshots(self, kind: str = "assignments") -> list[dict]:
+        return [r for r in self._records() if r["kind"] == kind]
 
     def latest(self, spark: SparkSession, kind: str = "assignments") -> DataFrame | None:
         snaps = self.snapshots(kind)
@@ -87,17 +100,9 @@ class SnapshotStore:
         Ids are globally unique, so the manifest is scanned directly —
         re-deriving the kind from the id would break for hyphenated
         kinds (write_snapshot accepts arbitrary kind strings)."""
-        if os.path.exists(self.manifest):
-            with open(self.manifest) as f:
-                for line in f:
-                    if not line.strip():
-                        continue
-                    try:
-                        r = json.loads(line)
-                    except json.JSONDecodeError:
-                        continue
-                    if r.get("snapshot_id") == snapshot_id:
-                        return spark.read.parquet(r["path"])
+        for r in self._records():
+            if r.get("snapshot_id") == snapshot_id:
+                return spark.read.parquet(r["path"])
         raise KeyError(f"unknown snapshot {snapshot_id!r}")
 
 

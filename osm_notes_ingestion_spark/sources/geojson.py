@@ -64,7 +64,10 @@ def _feature_ring_rows(feat: dict, id_prop: str, priority_prop: str, name_prop: 
     elif gtype == "MultiPolygon":
         parts = geom.get("coordinates") or []
     else:
-        return
+        # NOT silently dropped: a boundary file full of LineStrings would
+        # otherwise "load" zero polygons and assign -1 everywhere;
+        # on_error='skip' surfaces it in stats, the default fails loudly
+        raise ValueError(f"unsupported geometry type {gtype!r} for boundary feature")
     cid = int(props[id_prop])
     prio = int(props.get(priority_prop, 0))
     name = props.get(name_prop)
@@ -142,8 +145,23 @@ def split_antimeridian(rings: list[np.ndarray], seam_grow: float = SEAM_EPS) -> 
         if not (jumps > 180.0).any():
             out.append(r)
             continue
-        did = True
         ulon = np.where(lon < 0, lon + 360.0, lon)
+        # sanity: the unwrap (negative lons +360) is only meaningful for
+        # shapes whose longitudinal extent is < 180° — a ring spanning
+        # more (e.g. a full band mis-encoded with one jump edge, or a
+        # shape crossing BOTH lon=0 and the seam the long way round)
+        # would come out as garbage, so pass it through untouched rather
+        # than silently corrupt it
+        if float(ulon.max() - ulon.min()) >= 180.0:
+            out.append(r)
+            continue
+        # a genuine crossing has vertices strictly on BOTH sides of the
+        # seam after unwrapping; a full-band rect like [-180..180] × lat
+        # collapses to all-180 and must pass through, not degenerate
+        if not ((ulon < 180.0).any() and (ulon > 180.0).any()):
+            out.append(r)
+            continue
+        did = True
         ur = np.stack([ulon, r[:, 1]], axis=1)
         west = _clip_halfplane(ur, x0=180.0, keep_le=True)
         east = _clip_halfplane(ur, x0=180.0, keep_le=False)
@@ -283,12 +301,16 @@ def load_polygons_geojson(
         entry = by_feature[cid]
         rings = entry["rings"]
         n_in = len(rings)
-        method = "none"
-        if repair:
-            rings, method = repair_rings(rings)
+        # SPLIT FIRST: a crossing ring's >180° jump edges self-intersect
+        # other edges in planar lon space, so running the repair cascade
+        # first would re-node the planar ARTIFACT and hand the splitter
+        # corrupted geometry; the splitter needs only the raw jump edges
         did_split = False
         if autosplit:
             rings, did_split = split_antimeridian(rings)
+        method = "none"
+        if repair:
+            rings, method = repair_rings(rings)
         stats.append(
             {
                 "country_id": cid,

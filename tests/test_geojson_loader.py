@@ -212,3 +212,57 @@ def test_loader_on_error_skip_counts_bad_lines(spark, tmp_path, fixture_path):
     assert len(skipped) == 1 and "BROKEN" in skipped[0]["bad_line_head"]
     with pytest.raises(Exception):
         load_polygons_geojson(spark, bad)  # default on_error='fail'
+
+
+def test_jagged_crossing_ring_splits_before_repair(spark, tmp_path):
+    """A non-convex crossing ring whose planar jump edges self-intersect
+    other edges: the loader must SPLIT FIRST (the jump edges are
+    encoding artifacts, not geometry) — repairing first would re-node
+    the planar artifact and corrupt the shape."""
+    # unwrapped hexagon crossing the seam: (170,0) (175,5) (185,0)
+    # (190,5) (190,-5) (175,-5); encode lons > 180 as negative
+    ring = [[170, 0], [175, 5], [-175, 0], [-170, 5], [-170, -5], [175, -5], [170, 0]]
+    p = os.path.join(tmp_path, "jagged.jsonl")
+    with open(p, "w") as fh:
+        fh.write(_feature(99, 1, "jagged", [ring]) + "\n")
+    polys, stats = load_polygons_geojson(spark, p)
+    st = stats[0]
+    assert st["antimeridian_split"]
+    assert st["repair_method"] == "clean", st  # split parts need NO repair
+    rings = polys[0]["rings"]
+    # containment must match the unwrapped polygon under both encodings
+    unwrapped = np.array(
+        [[170, 0], [175, 5], [185, 0], [190, 5], [190, -5], [175, -5]], dtype=float
+    )
+    rng = np.random.RandomState(3)
+    lon = rng.uniform(-180, 180, 5000)
+    lat = rng.uniform(-10, 10, 5000)
+    keep = np.abs(np.abs(lon) - 180.0) > 1e-5
+    lon, lat = lon[keep], lat[keep]
+    got = points_in_rings(lon, lat, rings)
+    lon_up = np.where(lon < 0, lon + 360.0, lon)
+    want = points_in_rings(lon, lat, [unwrapped]) | points_in_rings(lon_up, lat, [unwrapped])
+    assert np.array_equal(got, want)
+
+
+def test_nonpolygon_geometry_fails_or_skips(spark, tmp_path):
+    p = os.path.join(tmp_path, "lines.jsonl")
+    with open(p, "w") as fh:
+        fh.write(
+            _feature(1, 1, "road", [[0, 0], [1, 1]], gtype="LineString") + "\n"
+        )
+        fh.write(_feature(2, 1, "ok", [[[5, 5], [6, 5], [6, 6], [5, 6], [5, 5]]]) + "\n")
+    with pytest.raises(Exception):
+        load_polygons_geojson(spark, p)  # default: fail loudly
+    polys, stats = load_polygons_geojson(spark, p, on_error="skip")
+    assert [p_["country_id"] for p_ in polys] == [2]
+    assert sum(1 for s in stats if s["repair_method"] == "skipped_parse_error") == 1
+
+
+def test_wide_ring_with_jump_is_not_mangled():
+    """A ring flagged as crossing whose unwrapped extent is >= 180 deg
+    (mis-encoded full band / both-seams shape) passes through untouched
+    instead of being silently corrupted by the unwrap."""
+    band = np.array([[-180.0, 80.0], [180.0, 80.0], [180.0, 90.0], [-180.0, 90.0]])
+    out, did = split_antimeridian([band])
+    assert not did and len(out) == 1 and np.array_equal(out[0], band)

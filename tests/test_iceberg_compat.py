@@ -70,6 +70,21 @@ def test_torn_manifest_line_is_not_a_commit(spark, tmp_path):
     assert _vals(store.latest(spark)) == _vals(_df(spark, [3, 3]))
 
 
+def test_midfile_manifest_corruption_raises(spark, tmp_path):
+    """Only a torn TRAILING line is a benign non-commit; a corrupted
+    complete (mid-file) record is real damage and must raise, not
+    silently roll the table back to an older snapshot."""
+    store = SnapshotStore(str(tmp_path / "store"))
+    store.write_snapshot(_df(spark, [1, 1]))
+    store.write_snapshot(_df(spark, [2, 2]))
+    lines = open(store.manifest).readlines()
+    lines[0] = lines[0][:20] + "GARBLED\n"
+    with open(store.manifest, "w") as f:
+        f.writelines(lines)
+    with pytest.raises(ValueError, match="corrupted"):
+        store.snapshots()
+
+
 def test_kind_namespaces_are_isolated(spark, tmp_path):
     store = SnapshotStore(str(tmp_path / "store"))
     sa = store.write_snapshot(_df(spark, [1]), kind="assignments")
