@@ -104,3 +104,40 @@ def test_hull_is_convex_and_ccw():
         np.roll(y, -1) - y
     ) * (np.roll(x, -2) - np.roll(x, -1))
     assert (cross > 0).all() or (cross < 0).all()
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    seed=st.integers(0, 10_000),
+    n=st.integers(4, 10),
+)
+def test_renode_parity_property_random_polygons(seed, n):
+    """Parity-preservation theorem, fuzzed: connect n random points in a
+    random order (almost surely self-crossing); re-noding must preserve
+    even-odd containment at every sample point, and every output ring
+    must be simple."""
+    rng = np.random.RandomState(seed)
+    ring = rng.uniform(-50, 50, size=(n, 2)).round(3)
+    # drop ties that make degenerate geometry trivially ambiguous
+    if len(np.unique(ring, axis=0)) < n:
+        return
+    from osm_notes_ingestion_spark.functions.geometry import _renode_ring
+
+    if not _ring_self_intersects(ring):
+        return
+    parts = _renode_ring(ring)
+    if parts is None:  # split budget exhausted (pathological) → hull path
+        return
+    assert all(not _ring_self_intersects(r) for r in parts)
+    px = rng.uniform(-55, 55, 2000)
+    py = rng.uniform(-55, 55, 2000)
+    orig = points_in_rings(px, py, [ring])
+    renoded = points_in_rings(px, py, parts)
+    # tolerate disagreement only within float slack of a boundary:
+    # compare exactly — the edge multiset argument is exact up to the
+    # inserted intersection points, which are computed once and shared
+    assert np.array_equal(orig, renoded)
