@@ -150,6 +150,8 @@ def q_streaming_status_fold(spark, sf_dir):
     import tempfile
     import time
 
+    from pyspark.sql import Window
+
     from ..streaming.stateful import streaming_status_fold
 
     ev = _mapped_events(spark, sf_dir)
@@ -166,6 +168,7 @@ def q_streaming_status_fold(spark, sf_dir):
         part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
         dst = os.path.join(src, f"{i:04d}.parquet")
         shutil.move(part, dst)
+        shutil.rmtree(tmp, ignore_errors=True)
         os.utime(dst, (time.time() + i, time.time() + i))  # oldest-first order
     stream = streaming_status_fold(spark, src, ev.schema)
     q = (
@@ -176,8 +179,8 @@ def q_streaming_status_fold(spark, sf_dir):
         .start()
     )
     q.awaitTermination()
-    from pyspark.sql import Window
-
+    # sink is driver-resident — reclaim the temp event chunks
+    shutil.rmtree(src, ignore_errors=True)
     w = Window.partitionBy("note_id").orderBy(F.desc("n_events"))
     return (
         spark.table("streaming_status_gate")
@@ -300,11 +303,19 @@ FROM t"""
 
 
 def q_reconcile(spark, sf_dir):
-    """O5 monitor diff: two lineages of lineitem keys, EXCEPT both ways."""
+    """O5 monitor diff: two lineages of lineitem keys, EXCEPT both ways.
+
+    Both side rows are ALWAYS emitted (n=0 when a direction is empty) —
+    the oracle's two fixed SELECT count(*) arms do the same, and a
+    monitor that silently omits the clean direction reads ambiguously."""
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     a = li.where(F.col("l_orderkey") % 5 != 1).select("l_orderkey", "l_linenumber")
     b = li.where(F.col("l_orderkey") % 5 != 2).select("l_orderkey", "l_linenumber")
-    return reconcile_diff(a, b).groupBy("side").agg(F.count("*").alias("n"))
+    counts = reconcile_diff(a, b).groupBy("side").agg(F.count("*").alias("n"))
+    sides = spark.createDataFrame([("only_a",), ("only_b",)], "side string")
+    return sides.join(counts, "side", "left").select(
+        "side", F.coalesce("n", F.lit(0)).alias("n")
+    )
 
 
 SQL_RECONCILE = """WITH a AS (SELECT l_orderkey, l_linenumber FROM lineitem WHERE l_orderkey % 5 != 1),

@@ -332,6 +332,7 @@ def _index_geojson(spark):
 
     import copy
     import os
+    import shutil
     import tempfile
 
     import numpy as np
@@ -349,8 +350,12 @@ def _index_geojson(spark):
     with open(path, "w") as fh:
         fh.write("\n".join(lines) + "\n")
     loaded, stats = load_polygons_geojson(spark, path)
+    shutil.rmtree(d, ignore_errors=True)  # index built — fixture no longer needed
     assert any(s["antimeridian_split"] for s in stats), "fixture must exercise the split"
     index = prep_polygons(loaded, level=9)
+    # single-slot per app: a harness that spins up many sessions must not
+    # accumulate one level-9 polygon index per applicationId
+    _GEOJSON_INDEX_CACHE.clear()
     _GEOJSON_INDEX_CACHE[key] = index
     return index
 
@@ -502,6 +507,7 @@ def q_streaming_tiles(spark, sf_dir):
     the result is deterministic ≡ the batch rollup, which is what the
     SQL oracle states. test_streaming_equals_batch pins the same
     invariant with a realistic delay."""
+    import shutil
     import tempfile
 
     from ..streaming.incremental import streaming_tile_counts
@@ -520,6 +526,9 @@ def q_streaming_tiles(spark, sf_dir):
         .start()
     )
     q.awaitTermination()
+    # the memory sink (driver-resident) absorbed everything — drop the
+    # full-corpus temp copy instead of leaking it per run
+    shutil.rmtree(src, ignore_errors=True)
     return spark.table("streaming_tiles_gate").select(
         F.col("window_start").cast("timestamp").alias("window_start"), "x", "y", "cnt"
     )

@@ -10,3 +10,10 @@ REGISTRY: dict[str, tuple] = {}
 REGISTRY.update(SPATIAL)
 REGISTRY.update(RELATIONAL)
 REGISTRY.update(TEXT)
+
+# a name collision across families would silently DROP a query from the
+# driver gate (dict.update is last-wins) — fail loudly instead
+assert len(REGISTRY) == len(SPATIAL) + len(RELATIONAL) + len(TEXT), (
+    "duplicate query name across families: "
+    f"{sorted(set(SPATIAL) & set(RELATIONAL) | set(SPATIAL) & set(TEXT) | set(RELATIONAL) & set(TEXT))}"
+)

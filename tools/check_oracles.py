@@ -23,8 +23,18 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
         if df[c].dtype == object:
-            df[c] = df[c].astype(str)
-        # unify ints/nullable ints/bools to comparable form
+            # stringify VALUES but keep nulls as nulls — astype(str) would
+            # turn None/NaN into the literal strings 'None'/'nan',
+            # breaking the NaN-aware comparison below (and letting a
+            # literal 'None' string falsely equal a NULL)
+            mask = df[c].isna()
+            df[c] = df[c].astype(str).astype(object)
+            df.loc[mask, c] = float("nan")
+        # unify ints/nullable ints/bools to comparable form.
+        # NOTE: nullable huge ints (> 2^53) would lose precision in the
+        # float64 fallback — none of the current queries emit those in a
+        # NULLABLE column (hash columns are all non-null); DuckDB's .df()
+        # is float-lossy for them at the source anyway.
         if str(df[c].dtype) in ("Int64", "Int32", "boolean"):
             df[c] = df[c].astype("float64") if df[c].isna().any() else df[c].astype("int64")
         if str(df[c].dtype) == "bool":
@@ -51,6 +61,10 @@ def main(names: list[str]) -> int:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
 
     todo = names or list(qs.keys())
+    unknown = [n for n in todo if n not in qs]
+    if unknown:
+        print(f"unknown query name(s): {unknown}\nvalid: {sorted(qs)}", file=sys.stderr)
+        return 1
     failures = 0
     for name in todo:
         fn = qs[name]
