@@ -21,10 +21,41 @@ density-informed initial radius this converges in 1–2 iterations.
 
 from __future__ import annotations
 
+import numpy as np
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.cells import cell_col
+from ..functions.cells import cell_col, encode, k_ring
+
+# ------- shared metric/bound pieces: ONE definition for both knn shapes
+# (the list path and the DataFrame path are separately gate-checked, but
+# their semantics must come from the same expressions)
+
+
+def _wrap_d2():
+    """Squared planar µdeg distance with longitude wrap (pinned metric)."""
+    dlon = F.abs(F.col("plon") - F.col("qlon"))
+    dlon = F.least(dlon, F.lit(360_000_000) - dlon)
+    return (F.col("plat") - F.col("qlat")) * (F.col("plat") - F.col("qlat")) + dlon * dlon
+
+
+def _pts_index(points, id_col, lat_col, lon_col, level):
+    return points.where(F.col(lat_col).isNotNull()).select(
+        F.col(id_col).alias("id"),
+        F.round(F.col(lat_col) * 1e6).cast("long").alias("plat"),
+        F.round(F.col(lon_col) * 1e6).cast("long").alias("plon"),
+        cell_col(F.col(lat_col), F.col(lon_col), level).alias("cell"),
+    )
+
+
+def _bound_e6(radius: float, cell_h_e6: float) -> float:
+    """Provable completeness bound: any point outside Chebyshev ring r is
+    farther than (r·cell_h − 1) µdeg (−1 absorbs e6 rounding)."""
+    return max(radius * cell_h_e6 - 1.0, 0.0) ** 2
+
+
+def _rank_w():
+    return Window.partitionBy("query_id").orderBy("d2", "id")
 
 
 def knn(
@@ -40,24 +71,44 @@ def knn(
 ) -> DataFrame:
     """→ (query_id, rank, id, d2) — the k nearest points per query.
 
-    Driver-list convenience wrapper over `knn_df` (ONE implementation of
-    the metric, ranking, and convergence bound — keeping a second copy in
-    sync by hand is how the two would silently diverge)."""
-    qdf = spark.createDataFrame(
-        [(int(q[0]), float(q[1]), float(q[2])) for q in queries],
-        "query_id long, qlat double, qlon double",
-    )
-    return knn_df(
-        spark,
-        points,
-        qdf,
-        k=k,
-        level=level,
-        initial_radius=initial_radius,
-        id_col=id_col,
-        lat_col=lat_col,
-        lon_col=lon_col,
-    )
+    Driver-list shape for dashboard-sized query sets: ring cells are
+    enumerated driver-side (numpy k_ring) and the loop costs ONE Spark
+    job per radius doubling — lighter than `knn_df`'s data-driven
+    machinery, which is the right tool from ~10³ queries up. Metric,
+    ranking and bound are shared helpers, so the two cannot diverge."""
+    pts = _pts_index(points, id_col, lat_col, lon_col, level).cache()
+    n = 1 << level
+    cell_h_e6 = 180.0 / n * 1e6
+
+    radius = initial_radius
+    qids = np.array([q[0] for q in queries], dtype=np.int64)
+    qlats = np.array([q[1] for q in queries], dtype=np.float64)
+    qlons = np.array([q[2] for q in queries], dtype=np.float64)
+    qcells = encode(qlats, qlons, level)
+
+    while True:
+        rows = []
+        for qid, qlat, qlon, qc in zip(qids, qlats, qlons, qcells):
+            for c in k_ring(int(qc), radius).tolist():
+                rows.append((int(qid), int(round(qlat * 1e6)), int(round(qlon * 1e6)), c))
+        qdf = spark.createDataFrame(rows, "query_id long, qlat long, qlon long, cell long")
+
+        topk = (
+            pts.join(F.broadcast(qdf), "cell", "inner")
+            .withColumn("d2", _wrap_d2())
+            .withColumn("rank", F.row_number().over(_rank_w()))
+            .where(F.col("rank") <= k)
+            .select("query_id", F.col("rank").cast("long").alias("rank"), "id", "d2")
+        )
+        got = topk.groupBy("query_id").agg(F.count("*").alias("n"), F.max("d2").alias("maxd2"))
+        stats = {r.query_id: (r.n, r.maxd2) for r in got.collect()}
+        bound = _bound_e6(radius, cell_h_e6)
+        ok = all(
+            qid in stats and stats[qid][0] >= k and stats[qid][1] < bound for qid in qids.tolist()
+        )
+        if ok or radius >= n:  # whole world covered → exact by exhaustion
+            return topk
+        radius *= 2
 
 
 def knn_df(
@@ -89,12 +140,7 @@ def knn_df(
 
     Output: (query_id, rank, id, d2) — identical semantics/oracle as knn.
     """
-    pts = points.where(F.col(lat_col).isNotNull()).select(
-        F.col(id_col).alias("id"),
-        F.round(F.col(lat_col) * 1e6).cast("long").alias("plat"),
-        F.round(F.col(lon_col) * 1e6).cast("long").alias("plon"),
-        cell_col(F.col(lat_col), F.col(lon_col), level).alias("cell"),
-    ).cache()
+    pts = _pts_index(points, id_col, lat_col, lon_col, level).cache()
     n = 1 << level
     nmax = n - 1
     cell_h_e6 = 180.0 / n * 1e6
@@ -116,12 +162,8 @@ def knn_df(
         F.lit(initial_radius).cast("long").alias("radius"),
     ).cache()
 
-    dlon = F.abs(F.col("plon") - F.col("qlon"))
-    dlon = F.least(dlon, F.lit(360_000_000) - dlon)
-    d2 = (F.col("plat") - F.col("qlat")) * (F.col("plat") - F.col("qlat")) + dlon * dlon
-    w = Window.partitionBy("query_id").orderBy("d2", "id")
-
     results: list[DataFrame] = []
+    max_radius = initial_radius  # all per-row radii are ≤ this (they double together)
     while True:
         cand_cells = (
             q.withColumn("dx", F.explode(F.sequence(-F.col("radius"), F.col("radius"))))
@@ -139,12 +181,16 @@ def knn_df(
                     + F.col("x")
                 ).alias("cell"),
             )
-            .distinct()  # wrap may alias cells once 2r+1 >= n
         )
+        if 2 * max_radius + 1 >= n:
+            # pmod can alias two dx offsets to one x only once the ring
+            # spans the full longitude circle — skip the dedup shuffle
+            # until then
+            cand_cells = cand_cells.distinct()
         topk = (
             pts.join(F.broadcast(cand_cells), "cell", "inner")
-            .withColumn("d2", d2)
-            .withColumn("rank", F.row_number().over(w))
+            .withColumn("d2", _wrap_d2())
+            .withColumn("rank", F.row_number().over(_rank_w()))
             .where(F.col("rank") <= k)
             .select("query_id", F.col("rank").cast("long").alias("rank"), "id", "d2")
             .cache()  # ≤ k rows/query: convergence stats AND the final
@@ -177,6 +223,7 @@ def knn_df(
         # iteration's cached topk — the superseded q is no longer needed
         # (eviction of a topk partition would just recompute through it)
         prev_q.unpersist(blocking=False)
+        max_radius *= 2
         if remaining == 0:
             break
 
@@ -205,14 +252,10 @@ def knn_brute_force(
         F.round(F.col(lat_col) * 1e6).cast("long").alias("plat"),
         F.round(F.col(lon_col) * 1e6).cast("long").alias("plon"),
     )
-    dlon = F.abs(F.col("plon") - F.col("qlon"))
-    dlon = F.least(dlon, F.lit(360_000_000) - dlon)
-    d2 = (F.col("plat") - F.col("qlat")) * (F.col("plat") - F.col("qlat")) + dlon * dlon
-    w = Window.partitionBy("query_id").orderBy("d2", "id")
     return (
         pts.crossJoin(F.broadcast(qdf))
-        .withColumn("d2", d2)
-        .withColumn("rank", F.row_number().over(w))
+        .withColumn("d2", _wrap_d2())
+        .withColumn("rank", F.row_number().over(_rank_w()))
         .where(F.col("rank") <= k)
         .select("query_id", F.col("rank").cast("long").alias("rank"), "id", "d2")
     )
