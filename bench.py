@@ -58,6 +58,19 @@ def materialize(df) -> int:
     return 0
 
 
+def _steal_counters() -> tuple[int, int]:
+    """(steal_jiffies, total_jiffies) from /proc/stat — see
+    tools/scaling_bench._cpu_steal_pct. Read twice to report the steal
+    percentage OVER THE BENCH WINDOW, not just since boot."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        vals = [int(v) for v in parts[1:9]]
+        return vals[7], sum(vals)
+    except Exception:
+        return -1, -1
+
+
 def best_of(fn, n: int) -> tuple[float, list[float]]:
     ts = []
     for _ in range(n):
@@ -73,6 +86,7 @@ def main() -> None:
     from osm_notes_ingestion_spark.sources.polygons import prep_polygons
     from osm_notes_ingestion_spark.sources.synth import pages_df, world_polygons
 
+    steal0, total0 = _steal_counters()
     spark = get_spark(CPUS, "bench")
     # JVM warm (codegen/classloading)
     spark.range(1_000_000).selectExpr("sum(id)").collect()
@@ -150,13 +164,30 @@ def main() -> None:
         )
 
     total = round(sum(timings.values()), 3)
+    steal1, total1 = _steal_counters()
+    if steal0 >= 0 and steal1 >= 0 and total1 > total0:
+        run_steal_pct = round(100.0 * (steal1 - steal0) / (total1 - total0), 2)
+    else:
+        run_steal_pct = -1.0
+    cum_steal_pct = round(100.0 * steal1 / max(total1, 1), 2) if steal1 >= 0 else -1.0
     print(
         json.dumps(
             {
                 "metric": "spatial_join_tiling_headline",
+                # bench_schema 2 = assign_country measured over a
+                # MATERIALIZED extracted table (untimed prep) — sessions
+                # logged before this change (schema 1, r1-era) timed
+                # extraction inline and are NOT comparable per-query
+                "bench_schema": 2,
                 "value": total,
                 "unit": "sec",
                 "value_semantics": "sum of per-query best-of-N trial times (N in 'trials'); assign_country reads a materialized extracted table (untimed prep), flagship_assign covers fused extract+assign",
+                # hypervisor CPU steal: over this bench run's window, and
+                # cumulative since boot (scaling_bench convention) — the
+                # shared host's time-varying steal is the dominant noise
+                # source (BENCH/BASELINE.md session table)
+                "run_steal_pct": run_steal_pct,
+                "cum_steal_pct": cum_steal_pct,
                 "queries": {k: round(v, 3) for k, v in timings.items()},
                 "trials": trials,
                 "sf": SF_DIR.rstrip("/").split("sf")[-1],

@@ -139,6 +139,13 @@ def knn_df(
     remaining-query count) per iteration.
 
     Output: (query_id, rank, id, d2) — identical semantics/oracle as knn.
+
+    Cache contract: the returned DataFrame is PERSISTED and fully
+    materialized; every intermediate cache this function created (point
+    index, per-iteration query sets and top-k partials) has already been
+    released before return, so repeated invocations (bench trials, gate
+    re-runs) do not accumulate session-lifetime cached data. Call
+    `.unpersist()` on the result when finished with it.
     """
     pts = _pts_index(points, id_col, lat_col, lon_col, level).cache()
     n = 1 << level
@@ -163,6 +170,7 @@ def knn_df(
     ).cache()
 
     results: list[DataFrame] = []
+    topk_caches: list[DataFrame] = []  # released after the final union materializes
     max_radius = initial_radius  # all per-row radii are ≤ this (they double together)
     while True:
         cand_cells = (
@@ -197,6 +205,7 @@ def knn_df(
             # union both read it — without the cache the expensive
             # join+window would run twice per iteration
         )
+        topk_caches.append(topk)
         stats = topk.groupBy("query_id").agg(
             F.count("*").alias("_nn"), F.max("d2").alias("_maxd2")
         )
@@ -230,6 +239,16 @@ def knn_df(
     out = results[0]
     for r in results[1:]:
         out = out.unionByName(r)
+    # materialize the bounded result (≤ k rows/query) while the loop
+    # caches are still hot, then release EVERYTHING we cached — the
+    # persisted `out` no longer needs the intermediates (an evicted
+    # partition spills to disk rather than recomputing the joins)
+    out = out.persist()
+    out.count()
+    pts.unpersist(blocking=False)
+    q.unpersist(blocking=False)  # the final (empty) query set is still cached
+    for t in topk_caches:
+        t.unpersist(blocking=False)
     return out
 
 

@@ -236,6 +236,14 @@ def asof_join(
     same-timestamp right row is visible — then each left row picks up
     the running `last(right value, ignorenulls)` window. ONE shuffle on
     the key, no matter how skewed the timestamp distribution is.
+
+    Tie-break convention (PINNED): among right rows sharing the same
+    (key, right_ts), the row with the lexicographically GREATEST value
+    tuple (field order = right_cols order, nulls first) wins — the sort
+    adds `_rrow` as the final ordering term, so the winner is
+    deterministic for valid inputs instead of whichever physical row the
+    shuffle happened to deliver last. Consequence: right value columns
+    must be orderable types (no map<> columns in right_cols).
     """
     rcols = right_cols or [c for c in right.columns if c not in (on, right_ts)]
     reserved = {"_ts", "_side", "_rrow", "_asof"} | {f"asof_{c}" for c in rcols}
@@ -272,7 +280,11 @@ def asof_join(
     merged = l_tag.unionByName(r_tag, allowMissingColumns=True)
     w = (
         Window.partitionBy(on)
-        .orderBy("_ts", "_side")
+        # "_rrow" last = deterministic tie-break among right rows sharing
+        # (key, ts): greatest value-struct wins (left rows all carry NULL
+        # _rrow, which sorts first and never reorders them vs right rows
+        # because _side already separates the sides)
+        .orderBy("_ts", "_side", "_rrow")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = merged.withColumn("_asof", F.last("_rrow", ignorenulls=True).over(w))

@@ -84,10 +84,22 @@ def embedding_near_dups(
     )
 
 
+def srp_bits_for(n_rows: int, target_bucket_rows: int = 1024, min_bits: int = 8, max_bits: int = 48) -> int:
+    """Number of SRP hyperplanes so buckets hold ~target_bucket_rows:
+    bits ≈ log2(n / target_bucket_rows), clamped to [min_bits, max_bits].
+    Same-bucket candidate work is then Θ(n · target_bucket_rows) instead
+    of the Θ(n²/2^bits) a fixed bits degrades to as n grows."""
+    import math
+
+    if n_rows <= 0:
+        return min_bits
+    return max(min_bits, min(max_bits, math.ceil(math.log2(max(1.0, n_rows / target_bucket_rows)))))
+
+
 def embedding_near_dups_bucketed(
     corpus: DataFrame,
     threshold: float = 0.999,
-    bits: int = 8,
+    bits: int | None = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -95,13 +107,24 @@ def embedding_near_dups_bucketed(
 
     Corpus is bucketed once by the sign-random-projection sketch; only
     SAME-BUCKET pairs are cosine-scored (equi-join on srp_bucket — no
-    cartesian anywhere). At 10^12 rows srp_bucket is the partition/sort
+    cartesian anywhere). At scale srp_bucket is the partition/sort
     key, so the self-join co-locates and Iceberg min-max prunes files.
     Near-identical vectors (cos > 0.999) project to the same signs unless
     one sits within rounding of a hyperplane, so recall ≈ 1 at these
     thresholds (measured in tests); precision is exactly 1 — every
     emitted pair is cosine-verified.
+
+    SIZING (`bits` must grow with corpus size): the same-bucket self-join
+    scores Θ(n²/2^bits) candidate pairs, so a FIXED bits does NOT stay
+    sub-quadratic as n grows — the default bits=8 (256 buckets) is sized
+    for test/gate corpora. At scale choose
+    bits ≈ log2(n / target_bucket_rows) (`srp_bits_for` computes this),
+    so each bucket holds ~target_bucket_rows vectors and candidate work
+    is Θ(n · target_bucket_rows). Pass `bits=None` to derive it from a
+    corpus count (one extra count job over the id column).
     """
+    if bits is None:
+        bits = srp_bits_for(corpus.select(id_col).count())
     c = srp_bucket(
         corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).cast("array<double>").alias("v")),
         vec_col="v",

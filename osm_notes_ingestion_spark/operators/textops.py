@@ -178,9 +178,18 @@ def simhash_near_dups(
     most max_hamming slices, so they MATCH EXACTLY in at least one slice
     — candidates come from an equi-join on (band, slice_bits), never a
     cartesian. Exact hamming (bit_count of xor, JVM-side) verifies; a
-    pair colliding in several bands dedupes via distinct. At 10^12 docs
-    the (band, slice) pair is the shuffle key — same shape as MinHash-LSH
+    pair colliding in several bands dedupes via distinct. At scale the
+    (band, slice) pair is the shuffle key — same shape as MinHash-LSH
     banding.
+
+    SIZING (`bits`/`bands` must grow with corpus size): the join key
+    space has bands · 2^(bits/bands) values, so the defaults (16 bits,
+    4 bands → 4·2^4 = 64 keys) are sized for test/gate corpora; a fixed
+    key space makes candidate work Θ(n²/keys) as n grows. At scale use a
+    64-bit simhash with bands = max_hamming+1 so each slice carries
+    64/(max_hamming+1) bits — e.g. max_hamming=3 → 4 bands × 2^16 slices
+    ≈ 260k keys, and grow slice width (more signature bits) until
+    n / (bands·2^width) is a workable per-key candidate count.
     """
     if bands <= max_hamming:
         raise ValueError("need bands > max_hamming for the pigeonhole guarantee")

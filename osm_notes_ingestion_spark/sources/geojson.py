@@ -122,8 +122,20 @@ def read_geojson_features(
     return lines.mapInPandas(parse, schema=_RING_SCHEMA)
 
 
-def split_antimeridian(rings: list[np.ndarray], seam_grow: float = SEAM_EPS) -> tuple[list[np.ndarray], bool]:
-    """Auto-split rings that cross lon=±180. Returns (rings, did_split).
+def split_antimeridian(
+    rings: list[np.ndarray], seam_grow: float = SEAM_EPS
+) -> tuple[list[np.ndarray], bool, bool]:
+    """Auto-split rings that cross lon=±180. Returns
+    (rings, did_split, unsplittable_crossing).
+
+    `unsplittable_crossing` is True when a ring HAS a >180° jump edge but
+    its unwrapped longitudinal span is >= 180° (e.g. a very wide
+    territory+EEZ shape crossing both lon=0 and the seam the long way
+    round): the unwrap heuristic cannot disambiguate it, the ring passes
+    through UNSPLIT, and planar containment across the seam is wrong for
+    it — callers must surface this (the loader records it per-feature and
+    raises under on_error='fail') rather than treat it like a benign
+    polar band.
 
     Per ring: if any edge jumps more than 180° of longitude, the ring is
     unwrapped (negative lons +360), clipped against x≤180 and x≥180
@@ -139,6 +151,7 @@ def split_antimeridian(rings: list[np.ndarray], seam_grow: float = SEAM_EPS) -> 
     """
     out: list[np.ndarray] = []
     did = False
+    unsplittable = False
     for r in rings:
         lon = r[:, 0]
         jumps = np.abs(np.diff(np.append(lon, lon[0])))
@@ -150,10 +163,12 @@ def split_antimeridian(rings: list[np.ndarray], seam_grow: float = SEAM_EPS) -> 
         # shapes whose longitudinal extent is < 180° — a ring spanning
         # more (e.g. a full band mis-encoded with one jump edge, or a
         # shape crossing BOTH lon=0 and the seam the long way round)
-        # would come out as garbage, so pass it through untouched rather
-        # than silently corrupt it
+        # would come out as garbage, so pass it through untouched — but
+        # FLAGGED, because the jump edge stays in the planar index where
+        # containment across the seam is wrong
         if float(ulon.max() - ulon.min()) >= 180.0:
             out.append(r)
+            unsplittable = True
             continue
         # a genuine crossing has vertices strictly on BOTH sides of the
         # seam after unwrapping; a full-band rect like [-180..180] × lat
@@ -172,7 +187,7 @@ def split_antimeridian(rings: list[np.ndarray], seam_grow: float = SEAM_EPS) -> 
             east[:, 0] -= 360.0
             east[:, 0] = np.where(east[:, 0] == -180.0, -180.0 - seam_grow, east[:, 0])
             out.append(east)
-    return out, did
+    return out, did, unsplittable
 
 
 def _clip_halfplane(ring: np.ndarray, x0: float, keep_le: bool) -> np.ndarray | None:
@@ -223,7 +238,8 @@ def load_polygons_geojson(
     ([{country_id, priority, name, rings}], per-feature stats).
 
     Stats rows: {country_id, n_rings_in, n_rings_out, repair_method,
-    antimeridian_split} — the loader twin of the reference's boundary
+    antimeridian_split, unsplittable_crossing} — the loader twin of the
+    reference's boundary
     import log (functionsProcess.sh:1891-1989 logs which repair step
     fired per boundary).
 
@@ -306,8 +322,16 @@ def load_polygons_geojson(
         # first would re-node the planar ARTIFACT and hand the splitter
         # corrupted geometry; the splitter needs only the raw jump edges
         did_split = False
+        unsplittable = False
         if autosplit:
-            rings, did_split = split_antimeridian(rings)
+            rings, did_split, unsplittable = split_antimeridian(rings)
+            if unsplittable and on_error == "fail":
+                raise ValueError(
+                    f"feature {cid!r}: ring crosses the antimeridian but its "
+                    "unwrapped lon span is >= 180° — cannot be auto-split; "
+                    "pre-split the geometry or load with on_error='skip' "
+                    "(the feature will be flagged unsplittable_crossing=True)"
+                )
         method = "none"
         if repair:
             rings, method = repair_rings(rings)
@@ -318,6 +342,7 @@ def load_polygons_geojson(
                 "n_rings_out": len(rings),
                 "repair_method": method,
                 "antimeridian_split": did_split,
+                "unsplittable_crossing": unsplittable,
             }
         )
         if not rings:
@@ -331,6 +356,7 @@ def load_polygons_geojson(
                 "n_rings_out": 0,
                 "repair_method": "skipped_parse_error",
                 "antimeridian_split": False,
+                "unsplittable_crossing": False,
                 "bad_line_head": bad[2],
             }
         )

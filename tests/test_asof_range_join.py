@@ -72,3 +72,16 @@ def test_range_join_boundary_semantics(spark):
         for r in range_join(facts, intervals, "ts", "s", "e", grain_seconds=3).collect()
     )
     assert got == [1, 3]
+
+
+def test_asof_duplicate_right_ts_tie_break_is_deterministic(spark):
+    """PINNED: among right rows sharing (key, ts), the lexicographically
+    GREATEST value tuple wins — repeated runs (and different physical row
+    orders) must agree."""
+    left = spark.createDataFrame([(1, _ts(5))], "k long, ts timestamp")
+    rows = [(1, _ts(2), 7, "b"), (1, _ts(2), 7, "a"), (1, _ts(2), 3, "z")]
+    for perm in (rows, rows[::-1], [rows[1], rows[2], rows[0]]):
+        right = spark.createDataFrame(perm, "k long, ts timestamp, v long, tag string").repartition(3)
+        got = asof_join(left, right, "k", "ts", "ts", right_cols=["v", "tag"]).collect()[0]
+        # greatest (v, tag) tuple = (7, 'b') regardless of input order
+        assert (got.asof_v, got.asof_tag) == (7, "b")

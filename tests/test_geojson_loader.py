@@ -125,8 +125,8 @@ def test_crossing_ring_equals_presplit_twin():
     jumps = np.abs(np.diff(np.append(fused[:, 0], fused[0, 0])))
     assert (jumps > 180).any(), "fixture writer must emit a genuinely crossing ring"
 
-    split, did = split_antimeridian([fused])
-    assert did and len(split) == 2
+    split, did, unsplittable = split_antimeridian([fused])
+    assert did and not unsplittable and len(split) == 2
 
     rng = np.random.RandomState(42)
     lon = np.concatenate(
@@ -151,8 +151,8 @@ def test_polar_band_not_split():
     band = _densify(
         np.array([[-180.0, 80.0], [180.0, 80.0], [180.0, 90.0], [-180.0, 90.0]])
     )
-    out, did = split_antimeridian([band])
-    assert not did and len(out) == 1
+    out, did, unsplittable = split_antimeridian([band])
+    assert not did and not unsplittable and len(out) == 1
     assert points_in_rings(np.array([0.0, 179.0]), np.array([85.0, 85.0]), out).all()
 
 
@@ -183,7 +183,7 @@ def test_split_property_random_crossing_rects(w_lo, width, la0, h):
     jumps = np.abs(np.diff(np.append(encoded[:, 0], encoded[0, 0])))
     if not (jumps > 180.0).any():  # tiny overshoot may not produce a jump
         return
-    split, did = split_antimeridian([encoded])
+    split, did, _unsplittable = split_antimeridian([encoded])
     assert did
     rng = np.random.RandomState(int(w_lo * 7 + width * 13 + la0 * 3 + h) & 0x7FFFFFFF)
     lon = rng.uniform(-180, 180, 3000)
@@ -264,5 +264,23 @@ def test_wide_ring_with_jump_is_not_mangled():
     (mis-encoded full band / both-seams shape) passes through untouched
     instead of being silently corrupted by the unwrap."""
     band = np.array([[-180.0, 80.0], [180.0, 80.0], [180.0, 90.0], [-180.0, 90.0]])
-    out, did = split_antimeridian([band])
+    out, did, unsplittable = split_antimeridian([band])
     assert not did and len(out) == 1 and np.array_equal(out[0], band)
+    # this band unwraps to all-lon-180 (span 0): the benign collapse
+    # branch, NOT the unsplittable-crossing branch
+    assert not unsplittable
+
+
+def test_wide_crossing_ring_is_flagged_unsplittable():
+    """A genuinely-crossing ring whose UNWRAPPED lon span is >= 180 deg
+    (very wide territory+EEZ shape) cannot be auto-split: it must pass
+    through UNSPLIT but FLAGGED, and the loader must raise under
+    on_error='fail' instead of silently indexing wrong planar geometry."""
+    # lon -10 -> 170 -> -170: the 170->-170 edge jumps 340 deg; unwrapped
+    # lons [350, 170, 190, 350] span exactly 180
+    wide = np.array(
+        [[-10.0, 10.0], [170.0, 10.0], [-170.0, 40.0], [-10.0, 40.0]]
+    )
+    out, did, unsplittable = split_antimeridian([wide])
+    assert not did and unsplittable
+    assert len(out) == 1 and np.array_equal(out[0], wide)

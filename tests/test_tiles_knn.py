@@ -107,3 +107,28 @@ def test_knn_df_matches_brute_force_incl_antimeridian(spark, sf_dir):
         for r in knn_brute_force(pts, qlist, k=5).collect()
     }
     assert got == want
+
+
+def test_knn_df_releases_all_intermediate_caches(spark, sf_dir):
+    """Cache contract: after knn_df returns, the ONLY persisted data left
+    is the materialized result itself — the point index, per-iteration
+    query sets and top-k partials are all released (VERDICT r2 #8), so
+    repeated invocations don't accumulate session-lifetime caches."""
+    from osm_notes_ingestion_spark.operators.knn import knn_df
+
+    def persistent_ids():
+        return set(spark.sparkContext._jsc.getPersistentRDDs().keySet())
+
+    spark.catalog.clearCache()
+    before = persistent_ids()
+    pts = extract_pages(pages_df(spark, sf_dir)).where(F.col("has_coords"))
+    qdf = spark.createDataFrame(
+        [(1, 35.0, -100.0), (2, -5.0, 179.9)], "query_id long, qlat double, qlon double"
+    )
+    out = knn_df(spark, pts, qdf, k=3, level=6)
+    assert out.count() == 6
+    leftover = persistent_ids() - before
+    # the persisted result accounts for at most one new entry
+    assert len(leftover) <= 1, f"intermediate caches leaked: {leftover}"
+    out.unpersist(blocking=True)
+    assert persistent_ids() - before == set(), "result unpersist must leave nothing behind"
