@@ -222,6 +222,83 @@ def cover_polygon(rings: list[np.ndarray], level: int, coarse_level: int = 3):
     return np.asarray(full, dtype=np.int64), np.asarray(partial, dtype=np.int64)
 
 
+def _clip_ring_halfplane(ring: np.ndarray, axis: int, v: float, keep_le: bool) -> np.ndarray | None:
+    """Sutherland–Hodgman clip of one ring against axis<=v (or >=v).
+
+    Axis-generic twin of sources/geojson._clip_halfplane (which is the
+    lon-only antimeridian variant). Intersection vertices get the clipped
+    coordinate set EXACTLY to v; returns None when the clipped ring is
+    degenerate (<3 distinct vertices).
+    """
+
+    def inside(c: float) -> bool:
+        return c <= v if keep_le else c >= v
+
+    out: list[np.ndarray] = []
+    n = len(ring)
+    for i in range(n):
+        a, b = ring[i], ring[(i + 1) % n]
+        ia, ib = inside(a[axis]), inside(b[axis])
+        if ia:
+            out.append(a)
+        if ia != ib:
+            t = (v - a[axis]) / (b[axis] - a[axis])
+            p = a + t * (b - a)
+            p[axis] = v
+            out.append(p)
+    if len(out) < 3:
+        return None
+    arr = np.asarray(out, dtype=np.float64)
+    keep = np.ones(len(arr), dtype=bool)
+    keep[1:] = ~(arr[1:] == arr[:-1]).all(axis=1)
+    if (arr[0] == arr[-1]).all() and keep.sum() > 1:
+        keep[-1] = False
+    arr = arr[keep]
+    if len(np.unique(arr, axis=0)) < 3:
+        return None
+    return arr
+
+
+def clip_rings_box(
+    rings: list[np.ndarray], lon_min: float, lat_min: float, lon_max: float, lat_max: float
+) -> list[np.ndarray]:
+    """Clip an even-odd ring group to an axis-aligned box, ring by ring.
+
+    Parity contract: for any point STRICTLY inside the box and not on an
+    original polygon edge, even-odd containment in the clipped group
+    equals containment in the original group. Per ring, Sutherland–
+    Hodgman yields the boundary of interior(ring) ∩ box (bridge segments
+    from concave shapes lie on the box edge as coincident anti-parallel
+    pairs, contributing even crossing counts — same argument as the
+    antimeridian splitter); even-odd over independently-clipped rings
+    XORs those intersections, which equals (XOR of ring interiors) ∩ box.
+    Degenerate clipped rings (the polygon merely grazes the box) drop
+    out — their interior ∩ box is empty.
+
+    Used by the distributed polygon prep: each partial (boundary) cover
+    cell carries only the polygon fragment inside its slightly-grown
+    cell box, so per-cell refinement never ships whole-country geometry.
+    The caller must grow the box so no refinement point can sit exactly
+    on an introduced box edge (see polygons.CLIP_EPS).
+    """
+    out = rings
+    for axis, v, keep_le in (
+        (0, lon_max, True),
+        (0, lon_min, False),
+        (1, lat_max, True),
+        (1, lat_min, False),
+    ):
+        nxt: list[np.ndarray] = []
+        for r in out:
+            c = _clip_ring_halfplane(np.asarray(r, dtype=np.float64), axis, v, keep_le)
+            if c is not None:
+                nxt.append(c)
+        out = nxt
+        if not out:
+            break
+    return out
+
+
 @dataclass
 class PolygonPack:
     """The whole polygon dimension flattened for broadcast + fast lookup.

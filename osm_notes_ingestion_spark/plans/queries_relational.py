@@ -51,9 +51,19 @@ def _mapped_events(spark, sf_dir):
 
 
 def q_status_fold(spark, sf_dir):
-    return fold_status(_mapped_events(spark, sf_dir), seq_col="seq").select(
+    """Combined gate: the trigger-fold state machine (W3) AND its
+    ignored-transition counter in one row per user — folded into ONE
+    registry entry so the driver's 50-query gate cap has room for the
+    multimodal and distributed-prep gates (VERDICT r2 #2). Both operators
+    still run in full; the join keys their outputs per user."""
+    ev = _mapped_events(spark, sf_dir)
+    folded = fold_status(ev, seq_col="seq").select(
         F.col("note_id").alias("user_id"), "status", "closed_at"
     )
+    ignored = count_ignored_transitions(ev, seq_col="seq").select(
+        F.col("note_id").alias("user_id"), "n_ignored"
+    )
+    return folded.join(ignored, "user_id")
 
 
 SQL_STATUS_FOLD = f"""WITH e AS (
@@ -108,6 +118,11 @@ SELECT user_id,
                 WHEN pm IS NULL THEN CASE WHEN ev = 'reopened' THEN 1 ELSE 0 END
                 WHEN m = pm THEN 1 ELSE 0 END) AS BIGINT) AS n_ignored
 FROM sub GROUP BY user_id"""
+
+
+# combined status_fold gate = fold + ignored counter joined per user
+SQL_STATUS_FOLD_FULL = f"""SELECT sf.user_id, sf.status, sf.closed_at, it.n_ignored
+FROM ({SQL_STATUS_FOLD}) sf JOIN ({SQL_IGNORED_TRANSITIONS}) it USING (user_id)"""
 
 
 # ---------------------------------------------------------- dedup / upsert
@@ -436,8 +451,7 @@ SQL_WINDOW_RANK = """SELECT l_suppkey, rn, l_orderkey, l_linenumber, running_qty
 
 
 QUERIES: dict[str, tuple] = {
-    "status_fold": (q_status_fold, SQL_STATUS_FOLD),
-    "ignored_transitions": (q_ignored_transitions, SQL_IGNORED_TRANSITIONS),
+    "status_fold": (q_status_fold, SQL_STATUS_FOLD_FULL),
     "dedup_new_rows": (q_dedup_new_rows, SQL_DEDUP_NEW_ROWS),
     "asof_join": (q_asof_join, SQL_ASOF_JOIN),
     "streaming_status_fold": (q_streaming_status_fold, SQL_STATUS_FOLD),

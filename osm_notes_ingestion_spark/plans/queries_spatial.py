@@ -94,6 +94,21 @@ SQL_ASSIGN_COUNTRY = f"""{_PTS_CTE}
 SELECT id, {sql_country_case()} AS country_id FROM pts"""
 
 
+def q_assign_country_distributed(spark, sf_dir):
+    """The DISTRIBUTED prep + assign path: ring rows stay in a DataFrame,
+    split/repair/cover run per-feature on executors (applyInPandas), and
+    exact-PIP refinement is cell-local against clipped fragments — no
+    driver ring collect, no global PolygonPack broadcast (VERDICT r2 #3).
+    Must equal the same oracle as the driver-prep assign_country."""
+    from ..operators.spatial_join import assign_countries_distributed
+    from ..sources.polygons import prep_polygons_distributed, ring_rows_df
+
+    cover = prep_polygons_distributed(spark, ring_rows_df(spark, world_polygons()), level=9)
+    return assign_countries_distributed(
+        spark, _extracted(spark, sf_dir), cover, level=9
+    ).select("id", "country_id")
+
+
 def q_assign_counts(spark, sf_dir):
     return (
         assign_countries(spark, _extracted(spark, sf_dir), _index())
@@ -548,6 +563,7 @@ QUERIES: dict[str, tuple] = {
     "cube_counts": (q_cube_counts, SQL_CUBE_COUNTS),
     "extract_text_md5": (q_extract_text_md5, SQL_EXTRACT_TEXT_MD5),
     "assign_country": (q_assign_country, SQL_ASSIGN_COUNTRY),
+    "assign_country_distributed": (q_assign_country_distributed, SQL_ASSIGN_COUNTRY),
     "assign_country_geojson": (q_assign_country_geojson, SQL_ASSIGN_COUNTRY),
     "assign_counts": (q_assign_counts, SQL_ASSIGN_COUNTS),
     "checkpoint_restore": (q_checkpoint_restore, SQL_ASSIGN_COUNTRY),

