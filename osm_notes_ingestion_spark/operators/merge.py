@@ -182,16 +182,40 @@ def count_ignored_transitions(
 
 
 def gap_stats(
-    notes: DataFrame, comments: DataFrame, note_key: str = "note_id"
+    notes: DataFrame,
+    comments: DataFrame,
+    note_key: str = "note_id",
+    max_ids: int | None = None,
 ) -> DataFrame:
     """J5+A4: notes with no comments — count, percentage, sorted id list
-    (json_agg analog: to_json(sort_array(collect_list())))."""
+    (json_agg analog: to_json(sort_array(collect_list()))).
+
+    `max_ids` is the SCALE default (recommended: a few thousand): the
+    reference's json_agg materializes every gap id into one string
+    (processAPINotes_34_updateLastValues.sql:55-64) — faithful, but
+    unbounded if the gap is ever large. With max_ids set, the listing is
+    the SMALLEST max_ids ids (deterministic TakeOrdered — bounded driver
+    and row size, never a full collect_list) while n_gaps/gap_pct stay
+    exact. max_ids=None keeps the reference-faithful full listing.
+    """
     gaps = notes.join(comments.select(note_key).distinct(), note_key, "left_anti")
     total = notes.select(F.countDistinct(note_key).alias("_t"))
-    return gaps.agg(
-        F.countDistinct(note_key).alias("n_gaps"),
-        F.to_json(F.sort_array(F.collect_list(note_key))).alias("gap_ids"),
-    ).crossJoin(total).select(
+    counts = gaps.agg(F.countDistinct(note_key).alias("n_gaps"))
+    if max_ids is None:
+        listed = gaps.agg(
+            F.to_json(F.sort_array(F.collect_list(note_key))).alias("gap_ids")
+        )
+    else:
+        # bound BEFORE the aggregation: orderBy+limit plans as
+        # TakeOrdered (per-partition top-k then merge), so the listing
+        # never materializes the full gap set anywhere
+        listed = (
+            gaps.select(note_key)
+            .orderBy(note_key)
+            .limit(max_ids)
+            .agg(F.to_json(F.sort_array(F.collect_list(note_key))).alias("gap_ids"))
+        )
+    return counts.crossJoin(listed).crossJoin(total).select(
         "n_gaps",
         F.round(F.col("n_gaps") * 100.0 / F.col("_t"), 2).alias("gap_pct"),
         "gap_ids",

@@ -292,3 +292,29 @@ def fingerprint(
     return grams.select(F.col(id_col), _md5_int(F.col("g")).alias("h")).groupBy(id_col).agg(
         F.min("h").alias("fingerprint")
     )
+
+
+def token_percentiles_approx(
+    df: DataFrame,
+    accuracy: int = 10000,
+    text_col: str = "text",
+    group_cols: tuple[str, ...] = ("lang", "source"),
+) -> DataFrame:
+    """SCALE default for per-group token-count percentiles.
+
+    The exact gate twin (plans/queries_text.q_token_percentiles) uses
+    `F.percentile`, which buffers and sorts every group's values — fine
+    at gate scale, a sort-heavy aggregation at 100 TB. This variant uses
+    `percentile_approx` (Greenwald–Khanna sketch): one-pass, mergeable
+    (map-side combine works), memory O(accuracy · log n), with rank
+    error bounded by 1/accuracy. The property test pins the returned
+    value inside the exact [p − 1/accuracy, p + 1/accuracy] quantile
+    envelope per group.
+    """
+    ntok = F.size(F.split(F.col(text_col), " ")).cast("double")
+    return df.groupBy(*group_cols).agg(
+        F.count("*").alias("n_docs"),
+        F.percentile_approx(ntok, F.lit(0.5), F.lit(accuracy)).alias("p50_tokens"),
+        F.percentile_approx(ntok, F.lit(0.95), F.lit(accuracy)).alias("p95_tokens"),
+        F.percentile_approx(ntok, F.lit(0.99), F.lit(accuracy)).alias("p99_tokens"),
+    )

@@ -297,14 +297,21 @@ FROM events WHERE user_id IS NOT NULL GROUP BY user_id"""
 
 
 def q_gap_stats(spark, sf_dir):
-    """J5+A4: orders with no lineitems — count, pct, sorted-id json."""
+    """J5+A4: orders with no lineitems — count, pct, sorted-id json.
+    Pins BOTH listing modes: the reference-faithful full json_agg AND
+    the bounded scale default (smallest 100 ids via TakeOrdered), as
+    gap_ids / gap_ids_capped columns of the same row."""
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
         F.col("o_orderkey").alias("note_id")
     )
     items = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
         F.col("l_orderkey").alias("note_id")
     )
-    return gap_stats(orders, items)
+    full = gap_stats(orders, items)
+    capped = gap_stats(orders, items, max_ids=100).select(
+        F.col("gap_ids").alias("gap_ids_capped")
+    )
+    return full.crossJoin(capped)
 
 
 SQL_GAP_STATS = """WITH g AS (
@@ -313,7 +320,9 @@ SQL_GAP_STATS = """WITH g AS (
 ), t AS (SELECT count(DISTINCT o_orderkey) AS total FROM orders)
 SELECT (SELECT count(*) FROM g) AS n_gaps,
        round((SELECT count(*) FROM g) * 100.0 / t.total, 2) AS gap_pct,
-       coalesce('[' || (SELECT string_agg(CAST(o_orderkey AS VARCHAR), ',' ORDER BY o_orderkey) FROM g) || ']', '[]') AS gap_ids
+       coalesce('[' || (SELECT string_agg(CAST(o_orderkey AS VARCHAR), ',' ORDER BY o_orderkey) FROM g) || ']', '[]') AS gap_ids,
+       coalesce('[' || (SELECT string_agg(CAST(o_orderkey AS VARCHAR), ',' ORDER BY o_orderkey)
+                        FROM (SELECT o_orderkey FROM g ORDER BY o_orderkey LIMIT 100)) || ']', '[]') AS gap_ids_capped
 FROM t"""
 
 

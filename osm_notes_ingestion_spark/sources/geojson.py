@@ -249,6 +249,16 @@ def load_polygons_geojson(
     OVERLAPPING features with the same id would parity-cancel in the
     overlap; de-duplicate upstream if your source emits those (admin-0
     sources emit one (Multi)Polygon feature per country).
+
+    SIZE GUIDANCE: this function returns DRIVER-RESIDENT polygons (rings
+    are collected) — right for admin-0-sized dimensions (~10² features)
+    feeding `prep_polygons` + broadcast. For large dimensions (admin-2
+    worldwide, parcels) do NOT collect: feed `read_geojson_features`
+    (ring rows stay distributed) straight into
+    `sources.polygons.prep_polygons_distributed` and assign with
+    `operators.spatial_join.assign_countries_distributed` — split/
+    repair/cover then run per-feature on executors and refinement is
+    cell-local, with no driver geometry at any point.
     """
     # format detection by PARSING, not substring sniffing: try the first
     # non-empty line as standalone JSON — a Feature (or single-line FC)

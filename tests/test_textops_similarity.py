@@ -247,3 +247,62 @@ def test_bucketed_neardup_recall_vs_exact(spark):
     assert bucketed <= exact  # precision 1
     assert bucketed == exact  # recall 1 on this corpus
     assert len(exact) > 0
+
+
+def test_token_percentiles_approx_within_rank_error(spark, sf_dir):
+    """The scale twin of the exact-percentile gate: percentile_approx's
+    value per group must fall inside the exact quantile envelope
+    [p - 1/accuracy, p + 1/accuracy] (Greenwald-Khanna guarantee)."""
+    import numpy as np
+
+    from osm_notes_ingestion_spark.operators.textops import token_percentiles_approx
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    acc = 10000
+    got = {
+        (r.lang, r.source): (r.p50_tokens, r.p95_tokens, r.p99_tokens)
+        for r in token_percentiles_approx(docs, accuracy=acc).collect()
+    }
+    pdf = docs.selectExpr(
+        "lang", "source", "CAST(size(split(text, ' ')) AS DOUBLE) AS ntok"
+    ).toPandas()
+    eps = 1.0 / acc
+    for (lang, source), grp in pdf.groupby(["lang", "source"]):
+        vals = np.sort(grp["ntok"].to_numpy())
+        for p, v in zip((0.5, 0.95, 0.99), got[(lang, source)]):
+            lo = np.quantile(vals, max(p - eps, 0.0), method="lower")
+            hi = np.quantile(vals, min(p + eps, 1.0), method="higher")
+            assert lo <= v <= hi, f"{lang}/{source} p{p}: {v} not in [{lo},{hi}]"
+
+
+def test_multimodal_decoder_both_states(spark):
+    """Real-decoder CI hook (VERDICT r2 #7): a genuine 3x2 PNG fixture
+    drives extract_media_metadata in whichever state this node supports —
+    PIL present => decoder='pil' with the TRUE dimensions; PIL absent =>
+    the probe self-describes 'stub' and demanding 'pil' fails loudly.
+    The same test is green in both environments, exercising the branch
+    that exists there."""
+    import os
+
+    import pytest as _pytest
+
+    from osm_notes_ingestion_spark.operators.multimodal import (
+        _decode_pil,
+        _probe_decoder,
+        extract_media_metadata,
+    )
+
+    png = open(os.path.join(os.path.dirname(__file__), "goldens", "tiny_3x2.png"), "rb").read()
+    assert png[:8] == b"\x89PNG\r\n\x1a\n" and len(png) == 85  # real image bytes, pinned
+    df = spark.createDataFrame([(1, bytearray(png))], "doc_id long, payload binary")
+    row = extract_media_metadata(df, decoder="auto").collect()[0]
+    assert row.n_bytes == 85
+    if _probe_decoder() == "pil":
+        assert (row.decoder, row.width, row.height) == ("pil", 3, 2)
+        assert _decode_pil(png) == (3, 2)
+    else:
+        assert row.decoder == "stub"  # capability column tells the truth
+        # demanding the real decoder where it doesn't exist must fail,
+        # not silently fake dimensions
+        with _pytest.raises(Exception):
+            extract_media_metadata(df, decoder="pil").collect()
