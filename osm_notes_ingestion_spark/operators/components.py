@@ -1,0 +1,155 @@
+"""Connected components over a DataFrame edge list — the cluster-
+resolution step a dedup pipeline needs AFTER candidate pairs are
+verified (pairs alone don't say which doc to keep; components do).
+
+Reference analog: the reference deduplicates notes row-by-row with
+per-id conflict checks (ON CONFLICT / EXCEPT in
+sql/process/processPlanetNotes_43_loadNewNotes.sql); it never needs
+transitive closure because its identity key is exact. Near-dup
+dedup at web scale does: similarity edges (MinHash/SimHash/SRP
+verified pairs) form chains, and the canonical document per group is
+a property of the connected component, not of any single pair.
+
+Algorithm: alternating large-star / small-star (Kiveris, Lattanzi,
+Mirrokni, Rastogi, Vassilvitskii — "Connected Components in MapReduce
+and Beyond", SoCC'14). Each half-round is one groupBy (per-node min
+neighbor) plus one equi-join back to the edge list; the edge set
+converges to a star forest (every node → its component's minimum id)
+in O(log² n) rounds. This is the published scale-out algorithm for
+10^12-edge graphs: no driver-side graph state, per-round shuffle
+bounded by the (shrinking) edge list, skew bounded because large-star
+moves every node's heavy adjacency onto its min in one round.
+
+Driver loop touches ONE scalar per round (an order-insensitive
+edge-set checksum: count + bit_xor of xxhash64(src,dst)) — the same
+one-collect-per-iteration discipline as operators/knn.py's knn_df.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _canon(edges: DataFrame) -> DataFrame:
+    """Symmetrized, deduped, self-loop-free (src, dst) edge list."""
+    e = edges.select(F.col("src").cast("long").alias("src"), F.col("dst").cast("long").alias("dst"))
+    return (
+        e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def _star(edges: DataFrame, large: bool) -> DataFrame:
+    """One star operation over a SYMMETRIC edge list.
+
+    For each node u with neighborhood N(u) and m = min(N(u) ∪ {u}):
+      large-star: emit (v, m) for v ∈ N(u), v > u
+      small-star: emit (v, m) for v ∈ N(u), v ≤ u, plus (u, m)
+    Emitted edges are re-symmetrized by the caller via _canon.
+    """
+    mins = edges.groupBy("src").agg(F.min("dst").alias("_mn"))
+    mins = mins.select("src", F.least(F.col("_mn"), F.col("src")).alias("m"))
+    joined = edges.join(mins, "src")
+    if large:
+        moved = joined.where(F.col("dst") > F.col("src")).select(
+            F.col("dst").alias("src"), F.col("m").alias("dst")
+        )
+        return moved
+    moved = joined.where(F.col("dst") <= F.col("src")).select(
+        F.col("dst").alias("src"), F.col("m").alias("dst")
+    )
+    self_edge = mins.select("src", F.col("m").alias("dst"))
+    return moved.union(self_edge)
+
+
+def connected_components(
+    edges: DataFrame,
+    nodes: DataFrame | None = None,
+    src: str = "src",
+    dst: str = "dst",
+    node_col: str = "node",
+    max_iter: int = 30,
+) -> DataFrame:
+    """(node, comp) — comp is the MINIMUM node id in the component.
+
+    edges: any (src, dst) pair list (direction/duplicates/self-loops
+    irrelevant). nodes: optional node universe; nodes absent from every
+    edge come back as singleton components (comp = node). max_iter
+    guards the O(log² n) convergence bound — 30 rounds covers any graph
+    this side of 2^30 nodes of pathological chain structure.
+
+    The convergence test is an order-insensitive checksum (count +
+    bit_xor of xxhash64) of the canonical edge set: a fixpoint of
+    large∘small star IS the star forest (paper, Lemma 4.1); checksum
+    collision would need two distinct edge sets agreeing on count and
+    64-bit xor — vanishingly unlikely, and harmless one round later
+    because the fixpoint re-checks.
+
+    Lineage discipline: every round LOCAL-CHECKPOINTS its edge set
+    (eager). Plain cache() leaves the full logical plan in place, and
+    each round references the prior round's frame several times — the
+    plan TREE grows exponentially and the analyzer, not the data,
+    becomes the bottleneck (observed: plan-string OOM by round ~12 on a
+    4-edge graph). On a real cluster swap localCheckpoint for a
+    reliable checkpoint dir so executor loss can't orphan the chain;
+    checkpoint blocks are reclaimed by the ContextCleaner once the
+    superseded frames drop out of scope.
+    """
+    e = _canon(edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))).localCheckpoint(
+        eager=True
+    )
+    prev_sig = None
+    for _ in range(max_iter):
+        e2 = _canon(_star(_canon(_star(e, large=True)), large=False)).localCheckpoint(eager=True)
+        row = e2.agg(
+            F.count("*").alias("n"),
+            F.expr("bit_xor(xxhash64(src, dst))").alias("x"),
+        ).collect()[0]
+        sig = (row["n"], row["x"])
+        e = e2
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    else:
+        raise RuntimeError(f"connected_components: no fixpoint in {max_iter} rounds")
+
+    # at the fixpoint every component is a star around its min: labels =
+    # (leaf → min) from the edges, (min → itself) for the centers
+    labels = (
+        e.select(F.col("src").alias(node_col), F.col("dst").alias("comp"))
+        .union(e.select(F.col("dst").alias(node_col), F.col("dst").alias("comp")))
+        .groupBy(node_col)
+        .agg(F.min("comp").alias("comp"))
+    )
+    if nodes is not None:
+        universe = nodes.select(F.col(nodes.columns[0]).cast("long").alias(node_col)).distinct()
+        labels = universe.join(labels, node_col, "left").select(
+            node_col, F.coalesce("comp", F.col(node_col)).alias("comp")
+        )
+    # self-contained result: does not depend on any round's checkpoint
+    # blocks staying alive after this function returns
+    return labels.localCheckpoint(eager=True)
+
+
+def dedup_cluster_labels(pairs: DataFrame, docs: DataFrame, doc_col: str = "doc_id") -> DataFrame:
+    """Near-dup groups from verified similarity pairs.
+
+    pairs: (id_a, id_b) verified near-dup pairs (e.g. the output of the
+    MinHash-LSH → Jaccard-verify path). docs: one row per document in
+    the corpus (singletons become their own cluster).
+    Output: (doc_id, cluster_id, is_canonical) — cluster_id = min doc id
+    in the component; is_canonical = 1 on exactly one row per cluster,
+    the row a keep-one-per-group dedup retains.
+    """
+    comp = connected_components(
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")),
+        nodes=docs.select(doc_col),
+        node_col=doc_col,
+    )
+    return comp.select(
+        doc_col,
+        F.col("comp").alias("cluster_id"),
+        (F.col(doc_col) == F.col("comp")).cast("int").alias("is_canonical"),
+    )

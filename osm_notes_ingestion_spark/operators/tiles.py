@@ -14,6 +14,7 @@ from a table of ≤ 4^z rows, which is negligible.
 
 from __future__ import annotations
 
+import math
 from functools import reduce
 
 from pyspark.sql import DataFrame
@@ -128,4 +129,94 @@ def merge_tile_counts(existing: DataFrame, delta: DataFrame) -> DataFrame:
         .groupBy(*dims)
         .agg(F.sum("cnt").alias("cnt"))
         .where(F.col("cnt") != 0)
+    )
+
+
+# ------------------------------------------------------- raster → vector
+
+
+def dissolve_tiles(tiles: DataFrame, z: int) -> DataFrame:
+    """Raster→vector: dissolve 4-connected same-class tiles into regions.
+
+    The inverse direction of tile_counts (vector points → raster tiles):
+    given the z-level tile-count raster, classify each tile into an
+    exact integer heat class (decimal magnitude of cnt — digit count,
+    identical integer op on any engine), connect tiles sharing an edge
+    AND a class, and label each connected region. Region identity =
+    minimum tile node id (node = x·2^z + y), so output is fully
+    deterministic. The reference's WMS layer styles tiles by SLD class
+    rules (sld/OpenNotes.sld:15-203) but never merges them; dissolving
+    adjacent same-class tiles into vector regions is what a map overlay
+    pipeline does downstream of the raster.
+
+    Scale: the tile table at zoom z has ≤ 4^z rows (z=12 → 16M) —
+    dwarfed by the fact table that produced it. The neighbor edges come
+    from two broadcast-sized equi-joins (shifted key = equality on
+    (x+1, y, class)), and the region labels from the published
+    large-star/small-star connected-components loop
+    (operators/components.py), O(log² tiles) rounds.
+
+    Output (one row per region, all exact integers):
+      region_id, bin, n_tiles, pages, x_min, x_max, y_min, y_max
+    Degree-space geometry for the regions comes from region_bbox_cols().
+    """
+    from .components import connected_components
+
+    n = 1 << z
+    t = (
+        tiles.where(F.col("z") == z)
+        .select(
+            "x",
+            "y",
+            "cnt",
+            F.length(F.col("cnt").cast("string")).cast("long").alias("bin"),
+            (F.col("x") * n + F.col("y")).alias("node"),
+        )
+    )
+    right = t.select(
+        F.col("node").alias("nbr"),
+        F.col("bin").alias("rbin"),
+        F.col("x").alias("rx"),
+        F.col("y").alias("ry"),
+    )
+    e_right = t.join(
+        right,
+        (t["x"] + 1 == right["rx"]) & (t["y"] == right["ry"]) & (t["bin"] == right["rbin"]),
+    ).select(F.col("node").alias("src"), F.col("nbr").alias("dst"))
+    e_down = t.join(
+        right,
+        (t["x"] == right["rx"]) & (t["y"] + 1 == right["ry"]) & (t["bin"] == right["rbin"]),
+    ).select(F.col("node").alias("src"), F.col("nbr").alias("dst"))
+    labels = connected_components(e_right.union(e_down), nodes=t.select("node"))
+    return (
+        t.join(labels, "node")
+        .groupBy(F.col("comp").alias("region_id"), "bin")
+        .agg(
+            F.count("*").alias("n_tiles"),
+            F.sum("cnt").alias("pages"),
+            F.min("x").alias("x_min"),
+            F.max("x").alias("x_max"),
+            F.min("y").alias("y_min"),
+            F.max("y").alias("y_max"),
+        )
+    )
+
+
+def region_bbox_cols(regions: DataFrame, z: int) -> DataFrame:
+    """Attach the degree-space bounding box of each region (vector side
+    of the raster→vector path): web-mercator inverse of the tile extent.
+    lat(y) = degrees(atan(sinh(π·(1 − 2y/n)))) with sinh spelled via exp
+    so the op order is pinned for the numpy twin (tests)."""
+    n = float(1 << z)
+
+    def merc_lat(y_col):
+        t = F.lit(math.pi) * (F.lit(1.0) - F.lit(2.0) * y_col / F.lit(n))
+        return F.degrees(F.atan((F.exp(t) - F.exp(-t)) / F.lit(2.0)))
+
+    return regions.select(
+        "*",
+        (F.col("x_min") / F.lit(n) * F.lit(360.0) - F.lit(180.0)).alias("lon_w"),
+        ((F.col("x_max") + 1) / F.lit(n) * F.lit(360.0) - F.lit(180.0)).alias("lon_e"),
+        merc_lat(F.col("y_min").cast("double")).alias("lat_n"),
+        merc_lat((F.col("y_max") + F.lit(1)).cast("double")).alias("lat_s"),
     )

@@ -213,6 +213,53 @@ FROM pts WHERE u < 90000
 GROUP BY 1, 2, 3"""
 
 
+def q_tiles_vectorize(spark, sf_dir):
+    """Raster→vector (the inverse of tile_counts): dissolve 4-connected
+    z6 tiles sharing a heat class into labeled vector regions via the
+    large-star/small-star connected-components loop
+    (operators/tiles.py::dissolve_tiles). All-integer output; the
+    degree-space bbox attachment (region_bbox_cols) is pytest-pinned
+    against a numpy twin. Oracle resolves the same grid components with
+    a recursive min-label closure."""
+    from ..operators.tiles import dissolve_tiles
+
+    pts = _extracted(spark, sf_dir).where(F.col("has_coords"))
+    tiles = tile_counts(pts, max_zoom=6, min_zoom=6)
+    return dissolve_tiles(tiles, z=6)
+
+
+def _sql_tiles_vectorize() -> str:
+    pts_rec = _PTS_CTE.replace("WITH pts", "WITH RECURSIVE pts", 1)
+    return f"""{pts_rec},
+tiles AS (
+  SELECT {_TILE_X.format(n=64)} AS x, {_TILE_Y.format(n=64)} AS y, count(*) AS cnt
+  FROM pts WHERE u < 90000 GROUP BY 1, 2
+),
+t AS (
+  SELECT x, y, cnt, CAST(length(CAST(cnt AS VARCHAR)) AS BIGINT) AS bin,
+         x * 64 + y AS node
+  FROM tiles
+),
+e1 AS (
+  SELECT a.node AS u, b.node AS v FROM t a JOIN t b ON b.x = a.x + 1 AND b.y = a.y AND b.bin = a.bin
+  UNION ALL
+  SELECT a.node, b.node FROM t a JOIN t b ON b.x = a.x AND b.y = a.y + 1 AND b.bin = a.bin
+),
+edges AS (SELECT u, v FROM e1 UNION SELECT v, u FROM e1),
+reach AS (
+  SELECT node, node AS comp FROM t
+  UNION
+  SELECT e.v AS node, r.comp FROM reach r JOIN edges e ON e.u = r.node
+  WHERE r.comp < e.v
+),
+lab AS (SELECT node, min(comp) AS comp FROM reach GROUP BY 1)
+SELECT l.comp AS region_id, t.bin, count(*) AS n_tiles,
+       CAST(sum(t.cnt) AS BIGINT) AS pages,
+       min(t.x) AS x_min, max(t.x) AS x_max, min(t.y) AS y_min, max(t.y) AS y_max
+FROM t JOIN lab l ON l.node = t.node
+GROUP BY 1, 2"""
+
+
 def q_knn(spark, sf_dir):
     pts = _extracted(spark, sf_dir).where(F.col("has_coords"))
     return knn(spark, pts, _KNN_QUERIES, k=5, level=6).select(
@@ -277,6 +324,47 @@ SELECT query_id, rank, id, d2 FROM (
          row_number() OVER (PARTITION BY query_id ORDER BY d2, id) AS rank
   FROM d
 ) WHERE rank <= 3"""
+
+
+# ------------------------------------------------------- dwithin join
+
+# site dimension for the proximity-join gate: a deterministic worldwide
+# lattice (exactly-representable x.5 coordinates so the SQL literals are
+# bit-identical doubles)
+_DW_SITES = [
+    (i, float(((i * 37) % 140) - 70) + 0.5, float(((i * 73) % 360) - 180) + 0.5)
+    for i in range(24)
+]
+_DW_RADIUS_M = 200000.0
+
+
+def q_dwithin_join(spark, sf_dir):
+    """ST_DWithin-style proximity join (operators/dwithin.py): pages
+    within 200 km (great-circle) of any of 24 sites, via the
+    cell-covered broadcast equi-join + exact haversine refine. The
+    oracle is the brute-force sites×pages cross join with the identical
+    haversine — proving the cell cover is a faithful superset AND the
+    refine is exact (this gate also subsumes the old standalone
+    `haversine` gate: the same distance expression is value-checked on
+    every surviving pair)."""
+    from ..operators.dwithin import dwithin_join
+
+    pts = _extracted(spark, sf_dir).where(F.col("has_coords"))
+    sites = spark.createDataFrame(_DW_SITES, "site_id long, lat double, lon double")
+    return dwithin_join(pts, sites, _DW_RADIUS_M)
+
+
+def _sql_dwithin() -> str:
+    from ..functions.geodesy import haversine_sql
+
+    vals = ", ".join(
+        f"({i}, CAST({lat!r} AS DOUBLE), CAST({lon!r} AS DOUBLE))" for i, lat, lon in _DW_SITES
+    )
+    d = haversine_sql("(lat_e6/1000000.0)", "(lon_e6/1000000.0)", "s.slat", "s.slon")
+    return f"""{_PTS_CTE},
+sites(site_id, slat, slon) AS (VALUES {vals})
+SELECT id, CAST(s.site_id AS BIGINT) AS site_id, CAST(floor({d}) AS BIGINT) AS dist_m
+FROM pts, sites s WHERE u < 90000 AND {d} <= {_DW_RADIUS_M!r}"""
 
 
 def q_haversine(spark, sf_dir):
@@ -464,28 +552,41 @@ FROM pts WHERE u < 90000 GROUP BY 1"""
 
 
 def q_s2_rollup(spark, sf_dir):
-    """Hierarchical rollup ON the S2 index (the cell_to_parent-style
-    rollup of SURVEY §2.8): encode at level 10, roll up to level 8 via
-    Morton shifts, count per parent. The oracle bins DIRECTLY at level 8
-    — proving shift-rollup ≡ direct coarse encoding."""
+    """s2_cells + s2_rollup FOLDED into one gate row (driver 50-query
+    cap): the level-10 per-cell counts AND their Morton-shift rollup to
+    level 8, union-tagged by `lvl`. The oracle bins DIRECTLY at each
+    level, so this simultaneously pins the fine encoder bit-for-bit and
+    proves shift-rollup ≡ direct coarse encoding (SURVEY §2.8's
+    cell_to_parent-style rollup)."""
     from ..functions.cells_alt import s2_cell_col, s2_parent_col
 
     pts = _extracted(spark, sf_dir).where(F.col("has_coords"))
     fine = pts.withColumn("c10", s2_cell_col(F.col("lat"), F.col("lon"), 10))
-    return (
+    g10 = (
+        fine.groupBy(F.col("c10").alias("s2_cell"))
+        .agg(F.count("*").alias("n_pages"))
+        .select(F.lit(10).cast("long").alias("lvl"), "s2_cell", "n_pages")
+    )
+    g8 = (
         fine.withColumn("s2_cell", s2_parent_col(F.col("c10"), 10, 8))
         .groupBy("s2_cell")
         .agg(F.count("*").alias("n_pages"))
+        .select(F.lit(8).cast("long").alias("lvl"), "s2_cell", "n_pages")
     )
+    return g10.unionByName(g8)
 
 
 def _sql_s2_rollup() -> str:
     from ..functions.cells_alt import s2_sql
 
-    cell = s2_sql("(lat_e6/1000000.0)", "(lon_e6/1000000.0)", 8)
+    c10 = s2_sql("(lat_e6/1000000.0)", "(lon_e6/1000000.0)", 10)
+    c8 = s2_sql("(lat_e6/1000000.0)", "(lon_e6/1000000.0)", 8)
     return f"""{_PTS_CTE}
-SELECT {cell} AS s2_cell, count(*) AS n_pages
-FROM pts WHERE u < 90000 GROUP BY 1"""
+SELECT CAST(10 AS BIGINT) AS lvl, {c10} AS s2_cell, count(*) AS n_pages
+FROM pts WHERE u < 90000 GROUP BY 2
+UNION ALL
+SELECT CAST(8 AS BIGINT) AS lvl, {c8} AS s2_cell, count(*) AS n_pages
+FROM pts WHERE u < 90000 GROUP BY 2"""
 
 
 def q_hex_cells(spark, sf_dir):
@@ -575,8 +676,13 @@ QUERIES: dict[str, tuple] = {
     "knn_bulk": (q_knn_bulk, SQL_KNN_BULK),
     "reassign_changed": (q_reassign_changed, SQL_REASSIGN_CHANGED),
     "streaming_tiles": (q_streaming_tiles, SQL_STREAMING_TILES),
-    "s2_cells": (q_s2_cells, _sql_s2_cells()),
+    "tiles_vectorize": (q_tiles_vectorize, _sql_tiles_vectorize()),
+    # s2_cells folded into s2_rollup (now union-tagged by lvl — the
+    # level-10 encoder stays bit-checked); haversine folded into
+    # dwithin_join (same distance expression value-checked per pair).
+    # Both slots freed for the new ops under the driver's 50-query cap;
+    # q_s2_cells/q_haversine remain as API surface + pytest coverage.
     "s2_rollup": (q_s2_rollup, _sql_s2_rollup()),
     "hex_cells": (q_hex_cells, _sql_hex_cells()),
-    "haversine": (q_haversine, _sql_haversine()),
+    "dwithin_join": (q_dwithin_join, _sql_dwithin()),
 }

@@ -163,6 +163,54 @@ JOIN sizes za ON za.doc_id = id_a JOIN sizes zb ON zb.doc_id = id_b
 WHERE CAST(i AS DOUBLE) / (za.sz + zb.sz - i) >= 0.8"""
 
 
+# ------------------------------------------------------- dedup clusters
+
+
+def q_dedup_clusters(spark, sf_dir):
+    """Transitive near-dup GROUPS from the verified MinHash-LSH pairs:
+    connected components (large-star/small-star, operators/components.py)
+    over the pair graph, canonical doc = component minimum. This is the
+    step that makes dedup actionable — keep rows where is_canonical=1.
+    The oracle recomputes the identical pair graph in SQL and resolves
+    components with a recursive min-label closure."""
+    from ..operators.components import dedup_cluster_labels
+
+    pairs = q_dedup_minhash_lsh(spark, sf_dir)
+    docs = _corpus(spark, sf_dir).select("doc_id")
+    return dedup_cluster_labels(pairs, docs)
+
+
+SQL_DEDUP_CLUSTERS = f"""WITH RECURSIVE {SQL_CORPUS}, {_SQL_SHINGLES}, {_SQL_MINHASH},
+sizes AS (SELECT doc_id, count(*) AS sz FROM shingles GROUP BY 1),
+inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS i
+  FROM cands c JOIN shingles a ON a.doc_id = c.id_a JOIN shingles b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+  GROUP BY 1, 2
+),
+verified AS (
+  SELECT id_a, id_b FROM inter
+  JOIN sizes za ON za.doc_id = id_a JOIN sizes zb ON zb.doc_id = id_b
+  WHERE CAST(i AS DOUBLE) / (za.sz + zb.sz - i) >= 0.8
+),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM verified
+  UNION SELECT id_b, id_a FROM verified
+),
+reach AS (
+  SELECT doc_id AS node, doc_id AS comp FROM corpus
+  UNION
+  -- propagate labels only downhill (comp < target): the component min
+  -- reaches every member through nodes it is smaller than, so min()
+  -- below is unaffected and the closure stays linear-ish
+  SELECT e.v AS node, r.comp FROM reach r JOIN edges e ON e.u = r.node
+  WHERE r.comp < e.v
+),
+lab AS (SELECT node, min(comp) AS comp FROM reach GROUP BY 1)
+SELECT node AS doc_id, comp AS cluster_id,
+       CAST(CASE WHEN node = comp THEN 1 ELSE 0 END AS INTEGER) AS is_canonical
+FROM lab"""
+
+
 # ----------------------------------------------------------------- simhash
 
 
@@ -526,7 +574,12 @@ QUERIES: dict[str, tuple] = {
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_jaccard": (q_dedup_jaccard, SQL_DEDUP_JACCARD),
     "dedup_minhash_lsh": (q_dedup_minhash_lsh, SQL_DEDUP_MINHASH),
-    "simhash": (q_simhash, SQL_SIMHASH),
+    "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
+    # simhash's standalone gate folded into simhash_near_dups (whose
+    # oracle recomputes every signature bit-for-bit from raw text before
+    # the banding join); the signature function keeps its numpy-twin
+    # pytest coverage. Slot freed for dedup_clusters under the driver's
+    # 50-query cap.
     "simhash_near_dups": (q_simhash_near_dups, SQL_SIMHASH_NEAR_DUPS),
     "lang_id": (q_lang_id, SQL_LANG_ID),
     "quality_features": (q_quality, SQL_QUALITY),
