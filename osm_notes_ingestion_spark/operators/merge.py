@@ -28,6 +28,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def dedup_new_rows(sync: DataFrame, base: DataFrame, key: str | list[str]) -> DataFrame:
@@ -395,3 +396,70 @@ def reconcile_diff(a: DataFrame, b: DataFrame) -> DataFrame:
     only_a = a.exceptAll(b).withColumn("side", F.lit("only_a"))
     only_b = b.exceptAll(a).withColumn("side", F.lit("only_b"))
     return only_a.unionByName(only_b)
+
+
+def sessionize(
+    events: DataFrame,
+    gap_s: int,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Gap-based sessionization: rows of one key whose timestamps are
+    within gap_s seconds of the previous row share a session.
+
+    Reference analog: the reference never sessionizes (notes have
+    explicit open/close lifecycles — fold_status above); a web-crawl
+    fact table needs the implicit form — e.g. grouping a crawler's
+    per-host fetch bursts or a user's activity bursts.
+
+    Session id = (key, epoch seconds of the session's FIRST event) —
+    deterministic, collision-free per key, and meaningful (the session
+    start time) rather than an opaque monotonic id.
+
+    Scale: ONE shuffle (hash by key for the window sort). The boundary
+    flag (gap > gap_s → new session) and the running session-start
+    (max-over-boundary-starts) are window functions over the same
+    (partitionBy key, orderBy ts) spec: they chain as two Window
+    operators (the max consumes the lag) but share ONE exchange and ONE
+    sort — asserted in tests/test_sessionize.py. Skewed keys: a key's whole history must sort
+    together — for a pathological single-key table, pre-split by time
+    range and stitch sessions crossing the cut (the asof_join pattern);
+    not needed for web corpora where keys are hosts/users.
+
+    Late/duplicate timestamps: ties order by ts only — rows with equal
+    (key, ts) always land in the same session, so intra-tie order is
+    irrelevant (same convention as fold_status's stable ordering).
+    """
+    w = Window.partitionBy(key_col).orderBy(ts_col)
+    # ntz → ltz (session pinned UTC) → long; Spark refuses ntz→bigint
+    ep = F.col(ts_col).cast("timestamp").cast("long")
+    prev = F.lag(ep).over(w)
+    is_new = F.when(prev.isNull() | (ep - prev > gap_s), ep)
+    # running max of boundary starts = this row's session start (every
+    # boundary starts a strictly-later session, so max == latest)
+    start = F.max(is_new).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    return events.withColumn("session_start", start).withColumn(
+        "session_id",
+        F.concat_ws(":", F.col(key_col).cast("string"), F.col("session_start").cast("string")),
+    )
+
+
+def session_stats(
+    events: DataFrame,
+    gap_s: int,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-session rollup of sessionize(): (key, session_start,
+    n_events, duration_s). Map-side combinable aggregation on the
+    already-key-partitioned sessionized frame — AQE sees the window
+    stage's hash partitioning, so no second shuffle is needed."""
+    s = sessionize(events, gap_s, key_col, ts_col)
+    ep = F.col(ts_col).cast("timestamp").cast("long")
+    return (
+        s.groupBy(key_col, "session_start")
+        .agg(
+            F.count("*").alias("n_events"),
+            (F.max(ep) - F.min(ep)).alias("duration_s"),
+        )
+    )
