@@ -29,7 +29,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument(
         "--job",
         required=True,
-        choices=["assign", "fused", "tiles", "knn", "knn_bulk", "incremental", "dedup"],
+        choices=[
+            "assign", "fused", "tiles", "knn", "knn_bulk", "incremental",
+            "dedup", "vectorize", "dwithin", "sessions",
+        ],
     )
     p.add_argument("--sf-dir", required=True)
     p.add_argument("--output", required=True)
@@ -45,6 +48,13 @@ def build_parser() -> argparse.ArgumentParser:
         help="parquet of (query_id, qlat, qlon) for --job knn_bulk "
         "(DataFrame-scale query sets via knn_df)",
     )
+    p.add_argument(
+        "--sites-parquet",
+        default=None,
+        help="parquet of (site_id, lat, lon) for --job dwithin",
+    )
+    p.add_argument("--radius-m", type=float, default=200000.0)
+    p.add_argument("--session-gap-s", type=int, default=3600)
     p.add_argument("--resume", action="store_true")
     p.add_argument("--snapshot-root", default=None)
     p.add_argument(
@@ -177,7 +187,46 @@ def main(argv: list[str] | None = None) -> None:
         cands = lsh_candidate_pairs(lsh_band_signatures(minhash_signatures(sh)))
         pairs = jaccard_filter(cands, sh, threshold=0.8)
         pairs.write.mode("overwrite").parquet(f"{args.output}/near_dup_pairs")
-        mlog.log_counters(run_id, "dedup", {"n_docs": docs.count()})
+        # cluster resolution: pairs → transitive groups → canonical doc
+        from .operators.components import dedup_cluster_labels
+
+        labels = dedup_cluster_labels(
+            spark.read.parquet(f"{args.output}/near_dup_pairs"), docs.select("doc_id")
+        )
+        labels.write.mode("overwrite").parquet(f"{args.output}/clusters")
+        mlog.log_counters(
+            run_id,
+            "dedup",
+            {
+                "n_docs": docs.count(),
+                "n_clusters": labels.where(F.col("is_canonical") == 1).count(),
+            },
+        )
+    elif args.job == "vectorize":
+        # raster→vector: tile rollup → dissolved regions with degree bbox
+        from .operators.tiles import dissolve_tiles, region_bbox_cols
+
+        pts = ext.where(F.col("has_coords"))
+        tiles = tile_counts(pts, max_zoom=args.max_zoom, min_zoom=args.max_zoom)
+        regions = region_bbox_cols(dissolve_tiles(tiles, args.max_zoom), args.max_zoom)
+        regions.write.mode("overwrite").parquet(f"{args.output}/regions")
+        mlog.log_counters(run_id, "vectorize", {"n_regions": regions.count()})
+    elif args.job == "dwithin":
+        from .operators.dwithin import dwithin_join
+
+        if not args.sites_parquet:
+            raise SystemExit("--job dwithin requires --sites-parquet")
+        sites = spark.read.parquet(args.sites_parquet)
+        res = dwithin_join(ext.where(F.col("has_coords")), sites, args.radius_m)
+        res.write.mode("overwrite").parquet(f"{args.output}/dwithin")
+        mlog.log_counters(run_id, "dwithin", {"n_pairs": res.count()})
+    elif args.job == "sessions":
+        from .operators.merge import session_stats
+
+        ev = spark.read.parquet(f"{args.sf_dir}/events.parquet")
+        res = session_stats(ev, args.session_gap_s)
+        res.write.mode("overwrite").parquet(f"{args.output}/sessions")
+        mlog.log_counters(run_id, "sessions", {"n_sessions": res.count()})
     elif args.job == "incremental":
         from .streaming.incremental import IncrementalRunner
 
