@@ -39,16 +39,6 @@ SQL_CORPUS = f"""corpus AS (
 
 def _corpus(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
-    # the local testdata corpus is ONE small parquet file → a 1-3
-    # partition scan that serializes every md5-heavy shingle/simhash
-    # stage on a handful of cores (measured: dedup_minhash_lsh 4.5s →
-    # 2.6s at sf0.1/32 threads after spreading). Production inputs
-    # arrive as many files, so spread only when the scan is
-    # under-partitioned; the shuffled payload is the raw doc rows —
-    # tiny relative to the exploded shingle work it unlocks.
-    par = spark.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() < par:
-        docs = docs.repartition(par)
     near = docs.where(F.col("doc_id") % 10 == 0).select(
         (F.col("doc_id") + 100000).alias("doc_id"),
         F.concat(F.col("text"), F.lit(_APPEND)).alias("text"),
@@ -56,7 +46,20 @@ def _corpus(spark, sf_dir):
     exact = docs.where(F.col("doc_id") % 25 == 0).select(
         (F.col("doc_id") + 200000).alias("doc_id"), "text"
     )
-    return docs.unionByName(near).unionByName(exact)
+    out = docs.unionByName(near).unionByName(exact)
+    # the local testdata corpus is ONE small parquet file → a 1-3
+    # partition scan (union: ≤6) that serializes every md5-heavy
+    # shingle/simhash stage on a handful of cores (measured:
+    # dedup_minhash_lsh 4.5s → 2.6s at sf0.1/32 threads after
+    # spreading). Spread AFTER the union — per-branch repartition would
+    # concatenate to 3×par partitions. Production inputs arrive as many
+    # files, so the guard skips the shuffle there; the shuffled payload
+    # is the raw doc rows — tiny relative to the exploded shingle work
+    # it unlocks.
+    par = spark.sparkContext.defaultParallelism
+    if out.rdd.getNumPartitions() < par:
+        out = out.repartition(par)
+    return out
 
 
 # ------------------------------------------------------------- exact dedup
