@@ -220,3 +220,42 @@ def region_bbox_cols(regions: DataFrame, z: int) -> DataFrame:
         merc_lat(F.col("y_min").cast("double")).alias("lat_n"),
         merc_lat((F.col("y_max") + F.lit(1)).cast("double")).alias("lat_s"),
     )
+
+
+def tile_user_counts(
+    points: DataFrame,
+    zoom: int,
+    user_col: str = "user_id",
+    approx: bool = False,
+    rsd: float = 0.05,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+) -> DataFrame:
+    """Distinct-contributor counts per tile: (z, x, y, n_users).
+
+    Reference analog: the dwh datamart's per-dimension user facts
+    (sql/dwh/ETL_22_createDWHTables.sql facts tables key on dimension ×
+    user). Two modes:
+      exact  — COUNT(DISTINCT user): Spark plans the two-phase
+        partial-distinct expand; correct but the distinct set per tile
+        must materialize through the shuffle. Fine to z≈8; at 100 TB
+        with hot tiles it is the skew-heavy shape.
+      approx — approx_count_distinct (HyperLogLog++, relative std dev
+        rsd): a fixed-size mergeable sketch per tile, ONE map-side
+        combinable pass, immune to per-tile cardinality skew. The scale
+        default; rank-error bound pinned in tests/test_tiles_knn.py.
+    """
+    pts = points.where(F.col(lat_col).isNotNull() & F.col(lon_col).isNotNull())
+    agg = (
+        F.approx_count_distinct(user_col, rsd) if approx else F.countDistinct(user_col)
+    ).alias("n_users")
+    return (
+        pts.select(
+            F.lit(zoom).alias("z"),
+            tile_x_col(F.col(lon_col), zoom).alias("x"),
+            tile_y_col(F.col(lat_col), zoom).alias("y"),
+            F.col(user_col),
+        )
+        .groupBy("z", "x", "y")
+        .agg(agg)
+    )

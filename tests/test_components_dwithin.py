@@ -214,3 +214,39 @@ def test_level_for_radius_monotone():
         lvl = level_for_radius(r)
         edge_m = 180.0 / (1 << lvl) * (math.pi * EARTH_RADIUS_M / 180.0)
         assert edge_m >= r or lvl == 0
+
+
+def test_tile_user_counts_exact_and_approx(spark):
+    from osm_notes_ingestion_spark.operators.tiles import tile_user_counts
+    import duckdb
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    from osm_notes_ingestion_spark.plans.queries_spatial import _extracted
+
+    pts = _extracted(spark, "/root/testdata/sf0.001").where(F.col("has_coords"))
+    # join user dimension onto the coord pages via event id
+    pts = pts.join(ev.select(F.col("event_id").alias("id"), "user_id"), "id")
+    exact = {(r["x"], r["y"]): r["n_users"] for r in
+             tile_user_counts(pts, 4).collect()}
+    # DuckDB twin computes the identical tile binning + exact distinct
+    from osm_notes_ingestion_spark.sources.synth import sql_lat_e6, sql_lon_e6, sql_u
+
+    want = {(r[0], r[1]): r[2] for r in duckdb.sql(f"""
+WITH pts AS (
+  SELECT event_id AS id, user_id,
+         {sql_lat_e6('event_id')}/1000000.0 AS lat,
+         {sql_lon_e6('event_id')}/1000000.0 AS lon,
+         {sql_u('event_id')} AS u
+  FROM '/root/testdata/sf0.001/events.parquet')
+SELECT CAST(LEAST(GREATEST(floor((lon + 180)/360 * 16), 0), 15) AS BIGINT) AS x,
+       CAST(LEAST(GREATEST(floor((1 - ln(tan(radians(LEAST(GREATEST(lat, -85.05112878), 85.05112878)))
+         + 1/cos(radians(LEAST(GREATEST(lat, -85.05112878), 85.05112878))))/pi())/2 * 16), 0), 15) AS BIGINT) AS y,
+       count(DISTINCT user_id) AS n
+FROM pts WHERE u < 90000 GROUP BY 1, 2""").fetchall()}
+    assert exact == want
+    # HLL sketch mode: every tile inside a generous rsd envelope
+    approx = {(r["x"], r["y"]): r["n_users"] for r in
+              tile_user_counts(pts, 4, approx=True, rsd=0.05).collect()}
+    assert set(approx) == set(exact)
+    for k, v in exact.items():
+        assert abs(approx[k] - v) <= max(3, 5 * 0.05 * v), (k, v, approx[k])
