@@ -95,6 +95,49 @@ def lsh_band_signatures(
     )
 
 
+def minhash_band_signatures(
+    shingles: DataFrame,
+    id_col: str = "doc_id",
+    n_hashes: int = 16,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """→ (id, band, bandsig) in ONE shuffle: band strings concatenated
+    straight off the wide per-doc min columns, then a narrow posexplode.
+
+    Bit-identical to lsh_band_signatures(minhash_signatures(sh)) — the
+    bandsig is the same '-'-joined decimal minhashes in hid order — but
+    skips that composition's second shuffle (the long-shape
+    groupBy(id, band) + collect_list sort). At 10^12 docs the saved
+    shuffle is n_hashes rows/doc; here it removes a whole stage.
+    """
+    P = 1000000007
+    h1 = _md5_int(F.col("shingle"), 1, 15)
+    h2m = _md5_int(F.col("shingle"), 16, 15) % F.lit(2147483647)
+    base = shingles.select(F.col(id_col), h1.alias("h1"), h2m.alias("h2m"))
+    wide = base.groupBy(id_col).agg(
+        *[
+            F.min((F.col("h1") + F.lit(i) * F.col("h2m")) % F.lit(P)).alias(f"_mh{i}")
+            for i in range(n_hashes)
+        ]
+    )
+    n_bands = n_hashes // rows_per_band
+    band_arr = F.array(
+        *[
+            F.concat_ws(
+                "-",
+                *[
+                    F.col(f"_mh{b * rows_per_band + r}").cast("string")
+                    for r in range(rows_per_band)
+                ],
+            )
+            for b in range(n_bands)
+        ]
+    )
+    return wide.select(
+        F.col(id_col), F.posexplode(band_arr).alias("band", "bandsig")
+    )
+
+
 def lsh_candidate_pairs(band_sigs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """→ (id_a, id_b), id_a < id_b: pairs sharing ≥1 band signature."""
     a = band_sigs.select(F.col(id_col).alias("id_a"), "band", "bandsig")
@@ -113,8 +156,19 @@ def jaccard_filter(
     """Exact word-shingle Jaccard over candidate pairs; keeps ≥ threshold.
 
     At scale the candidate set is the (small) LSH output, so the exact
-    verification join touches only candidate docs' shingles.
+    verification join touches only candidate docs' shingles: the full
+    shingle table is first cut down to candidate docs by a BROADCAST
+    semi-join on the candidate-id set — a map-side filter, so the only
+    rows that ever shuffle in the verify stage are candidates'. The
+    caller should persist `pairs` (it is referenced three times: the id
+    set, the intersection, and nothing else recomputes it then).
     """
+    ids = (
+        pairs.select(F.col("id_a").alias(id_col))
+        .unionByName(pairs.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    shingles = shingles.join(F.broadcast(ids), id_col, "left_semi")
     sizes = shingles.groupBy(id_col).agg(F.count("*").alias("sz"))
     sa = shingles.select(F.col(id_col).alias("id_a"), "shingle")
     sb = shingles.select(F.col(id_col).alias("id_b"), "shingle")

@@ -20,7 +20,8 @@ from ..operators.textops import (
     fingerprint,
     jaccard_filter,
     lang_id,
-    lsh_band_signatures,
+    lsh_band_signatures,  # noqa: F401 — long-shape API kept for callers
+    minhash_band_signatures,
     lsh_candidate_pairs,
     minhash_signatures,
     quality_features,
@@ -151,16 +152,22 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     The shingle table is persisted: signatures AND verification both
     consume it (at scale it would be a materialized intermediate table —
     recomputing the shingle explode twice doubles the dominant cost).
-    A single-slot cache bounds the leak: repeated invocations (bench
-    trials, gate re-runs) unpersist the previous copy instead of
-    accumulating cached shingle tables for the session lifetime."""
+    The candidate-pair table is persisted too: jaccard_filter references
+    it three times (broadcast id-set restriction + intersection), and at
+    scale candidates are likewise a materialized intermediate. A
+    single-slot cache bounds both leaks: repeated invocations (bench
+    trials, gate re-runs) unpersist the previous copies instead of
+    accumulating cached tables for the session lifetime."""
     while _SHINGLE_CACHE_SLOT:
         _SHINGLE_CACHE_SLOT.pop().unpersist(blocking=False)
     c = _corpus(spark, sf_dir)
     sh = word_shingles(c).persist()
     _SHINGLE_CACHE_SLOT.append(sh)
-    sigs = minhash_signatures(sh, n_hashes=16)
-    cands = lsh_candidate_pairs(lsh_band_signatures(sigs, rows_per_band=4))
+    # fused wide→band path: one shuffle from shingles to band signatures
+    cands = lsh_candidate_pairs(
+        minhash_band_signatures(sh, n_hashes=16, rows_per_band=4)
+    ).persist()
+    _SHINGLE_CACHE_SLOT.append(cands)
     return jaccard_filter(cands, sh, threshold=0.8)
 
 
