@@ -71,13 +71,34 @@ def _steal_counters() -> tuple[int, int]:
         return -1, -1
 
 
-def best_of(fn, n: int) -> tuple[float, list[float]]:
-    ts = []
-    for _ in range(n):
+def best_of(
+    fn, n: int, max_extra: int = 2, quiet_pct: float = 1.5
+) -> tuple[float, list[float], list[float]]:
+    """Best-of-N with steal-adaptive retries: steal is measured over each
+    trial's own window, and if even the BEST trial ran under >quiet_pct%
+    hypervisor steal, up to max_extra more trials run. Steal bursts on
+    this shared host last seconds-to-minutes (BENCH/BASELINE.md session
+    table: identical runs 2-3× apart), so a bounded retry reliably lands
+    one steady-state measurement where a fixed N can have all its trials
+    poisoned. Per-trial steal is reported alongside the times."""
+    ts: list[float] = []
+    steals: list[float] = []
+    while True:
+        s0, j0 = _steal_counters()
         t0 = time.perf_counter()
         fn()
-        ts.append(round(time.perf_counter() - t0, 3))
-    return min(ts), ts
+        dt = time.perf_counter() - t0
+        s1, j1 = _steal_counters()
+        if s0 >= 0 and s1 >= 0 and j1 > j0:
+            steals.append(round(100.0 * (s1 - s0) / (j1 - j0), 2))
+        else:
+            steals.append(-1.0)
+        ts.append(round(dt, 3))
+        if len(ts) >= n:
+            best_steal = steals[ts.index(min(ts))]
+            if 0 <= best_steal <= quiet_pct or len(ts) >= n + max_extra:
+                break
+    return min(ts), ts, steals
 
 
 def main() -> None:
@@ -122,15 +143,18 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     trials: dict[str, list[float]] = {}
+    trial_steal: dict[str, list[float]] = {}
 
     flagship = lambda: materialize(  # noqa: E731
         fused_extract_assign(spark, pages, index).select("id", "lat", "lon", "country_id")
     )
     # the flagship is the headline pages/sec — one extra trial damps the
     # shared-host steal noise documented in BENCH/BASELINE.md
-    timings["flagship_assign"], trials["flagship_assign"] = best_of(
-        flagship, max(TRIALS, 3)
-    )
+    (
+        timings["flagship_assign"],
+        trials["flagship_assign"],
+        trial_steal["flagship_assign"],
+    ) = best_of(flagship, max(TRIALS, 3))
 
     # assign_country: the declarative split-refine operator over a
     # MATERIALIZED extracted table (the production shape — extraction is
@@ -150,7 +174,11 @@ def main() -> None:
             "id", "lat", "lon", "lat_e6", "lon_e6", "has_coords", "rejected"
         ).write.mode("overwrite").parquet(extracted_path)
     extracted = spark.read.parquet(extracted_path)
-    timings["assign_country"], trials["assign_country"] = best_of(
+    (
+        timings["assign_country"],
+        trials["assign_country"],
+        trial_steal["assign_country"],
+    ) = best_of(
         lambda: materialize(
             assign_countries(spark, extracted, index).select("id", "country_id")
         ),
@@ -159,7 +187,7 @@ def main() -> None:
 
     for name in BENCH_QUERIES:
         fn, _sql = REGISTRY[name]
-        timings[name], trials[name] = best_of(
+        timings[name], trials[name], trial_steal[name] = best_of(
             lambda: materialize(fn(spark, SF_DIR)), TRIALS
         )
 
@@ -190,6 +218,11 @@ def main() -> None:
                 "cum_steal_pct": cum_steal_pct,
                 "queries": {k: round(v, 3) for k, v in timings.items()},
                 "trials": trials,
+                # steal measured over each trial's own window; best_of
+                # grants up to 2 extra trials when even the best trial
+                # was contended (>1.5% steal), so a burst mid-bench
+                # can't silently poison a query's recorded best
+                "trial_steal_pct": trial_steal,
                 "sf": SF_DIR.rstrip("/").split("sf")[-1],
                 "pages_per_sec": round(n_pages / timings["flagship_assign"], 1),
                 "n_pages": n_pages,
