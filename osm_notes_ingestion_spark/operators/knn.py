@@ -100,14 +100,22 @@ def knn(
             .where(F.col("rank") <= k)
             .select("query_id", F.col("rank").cast("long").alias("rank"), "id", "d2")
         )
-        got = topk.groupBy("query_id").agg(F.count("*").alias("n"), F.max("d2").alias("maxd2"))
-        stats = {r.query_id: (r.n, r.maxd2) for r in got.collect()}
+        # the result is ≤ k·|queries| rows (dashboard-sized by contract):
+        # collect ONCE, check convergence driver-side, and hand back a
+        # local DataFrame — one Spark job per radius doubling, instead of
+        # a stats job plus a second full join when the caller executes
+        # the returned plan
+        rows_out = topk.collect()
+        stats: dict[int, tuple[int, int]] = {}
+        for r in rows_out:
+            cnt, maxd2 = stats.get(r.query_id, (0, -1))
+            stats[r.query_id] = (cnt + 1, max(maxd2, r.d2))
         bound = _bound_e6(radius, cell_h_e6)
         ok = all(
             qid in stats and stats[qid][0] >= k and stats[qid][1] < bound for qid in qids.tolist()
         )
         if ok or radius >= n:  # whole world covered → exact by exhaustion
-            return topk
+            return spark.createDataFrame(rows_out, topk.schema)
         radius *= 2
 
 

@@ -262,7 +262,10 @@ GROUP BY 1, 2"""
 
 def q_knn(spark, sf_dir):
     pts = _extracted(spark, sf_dir).where(F.col("has_coords"))
-    return knn(spark, pts, _KNN_QUERIES, k=5, level=6).select(
+    # initial_radius=2: at this corpus density the provable 5th-NN bound
+    # needs the 5×5 ring (2·cell_h ≈ 5.6°), so starting there converges
+    # in ONE Spark job where the default radius-1 start always doubles
+    return knn(spark, pts, _KNN_QUERIES, k=5, level=6, initial_radius=2).select(
         "query_id", F.col("rank").cast("long").alias("rank"), "id", "d2"
     )
 
