@@ -30,13 +30,11 @@ def _md5_int(col_expr, start: int = 1, length: int = 15):
     )
 
 
-def word_shingles(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3
-) -> DataFrame:
-    """→ (id, shingle) — distinct word k-grams per document."""
-    toks = F.split(F.col(text_col), " ")
+def shingle_array(text_col_expr, k: int = 3):
+    """Distinct word k-grams of a text column as ONE array expression."""
+    toks = F.split(text_col_expr, " ")
     n = F.size(toks)
-    shingles = F.when(
+    return F.when(
         n >= k,
         F.array_distinct(
             F.transform(
@@ -45,7 +43,30 @@ def word_shingles(
             )
         ),
     ).otherwise(F.array().cast("array<string>"))
-    return df.select(F.col(id_col), F.explode(shingles).alias("shingle"))
+
+
+def word_shingles(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3
+) -> DataFrame:
+    """→ (id, shingle) — distinct word k-grams per document."""
+    return df.select(
+        F.col(id_col), F.explode(shingle_array(F.col(text_col), k)).alias("shingle")
+    )
+
+
+def doc_shingle_sets(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3
+) -> DataFrame:
+    """→ (id, shset) — one row per doc holding its distinct-shingle array.
+
+    The array shape is the scale-preferred carrier for the whole MinHash
+    pipeline: signatures fold over the array map-only (no explode row
+    blow-up, no groupBy shuffle — see minhash_band_signatures_sets), and
+    the same array IS the doc's shingle set for jaccard verification
+    (jaccard_filter_sets), so the verify stage needs no collect_set
+    shuffle either. Memory per row is bounded by document length, the
+    same bound the exploded rows already impose on the shuffle."""
+    return df.select(F.col(id_col), shingle_array(F.col(text_col), k).alias("shset"))
 
 
 def minhash_signatures(shingles: DataFrame, id_col: str = "doc_id", n_hashes: int = 16) -> DataFrame:
@@ -95,47 +116,53 @@ def lsh_band_signatures(
     )
 
 
-def minhash_band_signatures(
-    shingles: DataFrame,
+def minhash_band_signatures_sets(
+    docsets: DataFrame,
     id_col: str = "doc_id",
     n_hashes: int = 16,
     rows_per_band: int = 4,
+    set_col: str = "shset",
 ) -> DataFrame:
-    """→ (id, band, bandsig) in ONE shuffle: band strings concatenated
-    straight off the wide per-doc min columns, then a narrow posexplode.
+    """→ (id, band, bandsig) from per-doc shingle arrays — ZERO shuffles.
 
-    Bit-identical to lsh_band_signatures(minhash_signatures(sh)) — the
-    bandsig is the same '-'-joined decimal minhashes in hid order — but
-    skips that composition's second shuffle (the long-shape
-    groupBy(id, band) + collect_list sort). At 10^12 docs the saved
-    shuffle is n_hashes rows/doc; here it removes a whole stage.
-    """
+    Bit-identical to lsh_band_signatures(minhash_signatures(word_shingles
+    rows)) — the bandsig is the same '-'-joined decimal minhashes in hid
+    order — but every minhash is an array_min fold over the doc's own
+    shingle array, so the canonical MinHash shuffle (shingle-row explode
+    + per-doc groupBy min) disappears entirely: the first shuffle in the
+    whole LSH pipeline is the banded candidate equi-join itself. The two
+    md5 halves are materialized once per shingle in a separate projection
+    (CollapseProject keeps non-cheap multi-use aliases), not once per
+    (shingle × hash function). Docs with no shingles carry no signature,
+    matching the row path where they simply have no rows."""
     P = 1000000007
-    h1 = _md5_int(F.col("shingle"), 1, 15)
-    h2m = _md5_int(F.col("shingle"), 16, 15) % F.lit(2147483647)
-    base = shingles.select(F.col(id_col), h1.alias("h1"), h2m.alias("h2m"))
-    wide = base.groupBy(id_col).agg(
-        *[
-            F.min((F.col("h1") + F.lit(i) * F.col("h2m")) % F.lit(P)).alias(f"_mh{i}")
-            for i in range(n_hashes)
-        ]
+    hs = F.transform(
+        F.col(set_col),
+        lambda s: F.struct(
+            _md5_int(s, 1, 15).alias("h1"),
+            (_md5_int(s, 16, 15) % F.lit(2147483647)).alias("h2m"),
+        ),
     )
+    wide = docsets.where(F.size(set_col) > 0).select(
+        F.col(id_col), hs.alias("_hs")
+    )
+    mh = [
+        F.array_min(
+            F.transform(
+                F.col("_hs"),
+                lambda h: (h["h1"] + F.lit(i) * h["h2m"]) % F.lit(P),
+            )
+        ).cast("string")
+        for i in range(n_hashes)
+    ]
     n_bands = n_hashes // rows_per_band
     band_arr = F.array(
         *[
-            F.concat_ws(
-                "-",
-                *[
-                    F.col(f"_mh{b * rows_per_band + r}").cast("string")
-                    for r in range(rows_per_band)
-                ],
-            )
+            F.concat_ws("-", *mh[b * rows_per_band : (b + 1) * rows_per_band])
             for b in range(n_bands)
         ]
     )
-    return wide.select(
-        F.col(id_col), F.posexplode(band_arr).alias("band", "bandsig")
-    )
+    return wide.select(F.col(id_col), F.posexplode(band_arr).alias("band", "bandsig"))
 
 
 def lsh_candidate_pairs(band_sigs: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -168,22 +195,63 @@ def jaccard_filter(
         .unionByName(pairs.select(F.col("id_b").alias(id_col)))
         .distinct()
     )
-    shingles = shingles.join(F.broadcast(ids), id_col, "left_semi")
-    sizes = shingles.groupBy(id_col).agg(F.count("*").alias("sz"))
-    sa = shingles.select(F.col(id_col).alias("id_a"), "shingle")
-    sb = shingles.select(F.col(id_col).alias("id_b"), "shingle")
-    inter = (
-        pairs.join(sa, "id_a")
-        .join(sb, ["id_b", "shingle"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("inter"))
+    # shingles are DISTINCT per doc (word_shingles array_distincts), so
+    # each candidate doc's shingles form a set: fold them into ONE array
+    # row per doc and verify pairs by array_intersect — the pair joins
+    # then move one bounded-by-doc-length array per doc instead of ~|doc|
+    # shingle rows per doc, and the only shingle-row shuffle left is the
+    # candidate-restricted collect_set. (The id-set broadcast is O(LSH
+    # candidates); if that ever exceeds the broadcast budget, dropping
+    # the hint degrades gracefully to a shuffled semi-join.)
+    docsets = (
+        shingles.join(F.broadcast(ids), id_col, "left_semi")
+        .groupBy(id_col)
+        .agg(F.collect_set("shingle").alias("_shset"))
     )
-    za = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sza"))
-    zb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("szb"))
+    a = docsets.select(F.col(id_col).alias("id_a"), F.col("_shset").alias("_sa"))
+    b = docsets.select(F.col(id_col).alias("id_b"), F.col("_shset").alias("_sb"))
+    inter = F.size(F.array_intersect(F.col("_sa"), F.col("_sb")))
     return (
-        inter.join(za, "id_a")
-        .join(zb, "id_b")
-        .withColumn("jaccard", F.col("inter") / (F.col("sza") + F.col("szb") - F.col("inter")))
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn(
+            "jaccard",
+            inter / (F.size(F.col("_sa")) + F.size(F.col("_sb")) - inter),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b")
+    )
+
+
+def jaccard_filter_sets(
+    pairs: DataFrame,
+    docsets: DataFrame,
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    set_col: str = "shset",
+) -> DataFrame:
+    """jaccard_filter over per-doc shingle ARRAYS (doc_shingle_sets):
+    the docset table is restricted to candidate docs by a broadcast
+    semi-join, then each pair is verified map-side by array_intersect —
+    no shingle-row shuffle at all in the verify stage. Pairs where either
+    side has no shingles fall out via the NULL 0/0 jaccard, matching the
+    row path (such docs contribute no intersection rows there)."""
+    ids = (
+        pairs.select(F.col("id_a").alias(id_col))
+        .unionByName(pairs.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    cand_sets = docsets.join(F.broadcast(ids), id_col, "left_semi")
+    a = cand_sets.select(F.col(id_col).alias("id_a"), F.col(set_col).alias("_sa"))
+    b = cand_sets.select(F.col(id_col).alias("id_b"), F.col(set_col).alias("_sb"))
+    inter = F.size(F.array_intersect(F.col("_sa"), F.col("_sb")))
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn(
+            "jaccard",
+            inter / (F.size(F.col("_sa")) + F.size(F.col("_sb")) - inter),
+        )
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b")
     )

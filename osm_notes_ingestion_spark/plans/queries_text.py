@@ -17,13 +17,13 @@ from ..operators.multimodal import extract_media_metadata, resize_media, sample_
 from ..operators.similarity import cosine_topk, embedding_near_dups, ivf_topk
 from ..operators.textops import (
     LANG_MARKERS,
+    doc_shingle_sets,
     fingerprint,
     jaccard_filter,
+    jaccard_filter_sets,
     lang_id,
-    lsh_band_signatures,  # noqa: F401 — long-shape API kept for callers
-    minhash_band_signatures,
     lsh_candidate_pairs,
-    minhash_signatures,
+    minhash_band_signatures_sets,
     quality_features,
     simhash,
     word_shingles,
@@ -149,26 +149,25 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     """MinHash(16) → LSH(4 bands × 4 rows) candidates → exact-Jaccard
     verification ≥ 0.8. Deterministic end to end (md5 hashing).
 
-    The shingle table is persisted: signatures AND verification both
-    consume it (at scale it would be a materialized intermediate table —
-    recomputing the shingle explode twice doubles the dominant cost).
-    The candidate-pair table is persisted too: jaccard_filter references
-    it three times (broadcast id-set restriction + intersection), and at
-    scale candidates are likewise a materialized intermediate. A
-    single-slot cache bounds both leaks: repeated invocations (bench
-    trials, gate re-runs) unpersist the previous copies instead of
-    accumulating cached tables for the session lifetime."""
+    Array-shaped pipeline: the per-doc distinct-shingle ARRAY is computed
+    once (doc_shingle_sets, persisted — signatures and verification both
+    consume it), signatures fold over it map-only, and the FIRST shuffle
+    in the whole pipeline is the banded candidate equi-join. The
+    candidate-pair table is persisted too (referenced by the broadcast
+    id-set restriction and both pair joins). A single-slot cache bounds
+    both leaks: repeated invocations (bench trials, gate re-runs)
+    unpersist the previous copies instead of accumulating cached tables
+    for the session lifetime."""
     while _SHINGLE_CACHE_SLOT:
         _SHINGLE_CACHE_SLOT.pop().unpersist(blocking=False)
     c = _corpus(spark, sf_dir)
-    sh = word_shingles(c).persist()
-    _SHINGLE_CACHE_SLOT.append(sh)
-    # fused wide→band path: one shuffle from shingles to band signatures
+    sets = doc_shingle_sets(c).persist()
+    _SHINGLE_CACHE_SLOT.append(sets)
     cands = lsh_candidate_pairs(
-        minhash_band_signatures(sh, n_hashes=16, rows_per_band=4)
+        minhash_band_signatures_sets(sets, n_hashes=16, rows_per_band=4)
     ).persist()
     _SHINGLE_CACHE_SLOT.append(cands)
-    return jaccard_filter(cands, sh, threshold=0.8)
+    return jaccard_filter_sets(cands, sets, threshold=0.8)
 
 
 SQL_DEDUP_MINHASH = f"""WITH {SQL_CORPUS}, {_SQL_SHINGLES}, {_SQL_MINHASH},

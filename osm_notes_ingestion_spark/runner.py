@@ -169,11 +169,10 @@ def main(argv: list[str] | None = None) -> None:
         # training-data pipeline: exact dedup table + MinHash-LSH near-dup
         # pairs over the documents corpus
         from .operators.textops import (
-            jaccard_filter,
-            lsh_band_signatures,
+            doc_shingle_sets,
+            jaccard_filter_sets,
             lsh_candidate_pairs,
-            minhash_signatures,
-            word_shingles,
+            minhash_band_signatures_sets,
         )
 
         docs = spark.read.parquet(f"{args.sf_dir}/documents.parquet").select("doc_id", "text")
@@ -183,10 +182,11 @@ def main(argv: list[str] | None = None) -> None:
             .agg(F.min("doc_id").alias("canonical_id"), F.count("*").alias("n_copies"))
         )
         exact.write.mode("overwrite").parquet(f"{args.output}/dedup_exact")
-        sh = word_shingles(docs).persist()
-        cands = lsh_candidate_pairs(lsh_band_signatures(minhash_signatures(sh)))
-        pairs = jaccard_filter(cands, sh, threshold=0.8)
+        sets = doc_shingle_sets(docs).persist()
+        cands = lsh_candidate_pairs(minhash_band_signatures_sets(sets))
+        pairs = jaccard_filter_sets(cands, sets, threshold=0.8)
         pairs.write.mode("overwrite").parquet(f"{args.output}/near_dup_pairs")
+        sets.unpersist(blocking=False)
         # cluster resolution: pairs → transitive groups → canonical doc
         from .operators.components import dedup_cluster_labels
 
