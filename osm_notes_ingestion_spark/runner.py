@@ -31,7 +31,7 @@ def build_parser() -> argparse.ArgumentParser:
         required=True,
         choices=[
             "assign", "fused", "tiles", "knn", "knn_bulk", "incremental",
-            "dedup", "vectorize", "dwithin", "sessions",
+            "dedup", "stream_dedup", "vectorize", "dwithin", "sessions",
         ],
     )
     p.add_argument("--sf-dir", required=True)
@@ -202,6 +202,25 @@ def main(argv: list[str] | None = None) -> None:
                 "n_clusters": labels.where(F.col("is_canonical") == 1).count(),
             },
         )
+    elif args.job == "stream_dedup":
+        # incremental near-dup maintenance: stream the documents corpus
+        # file-by-file through the foreachBatch LSH index (streaming/dedup)
+        from .streaming.dedup import near_dup_pairs, streaming_near_dups
+
+        docs = spark.read.parquet(f"{args.sf_dir}/documents.parquet").select(
+            "doc_id", "text"
+        )
+        # the file stream source needs a DIRECTORY; stage the corpus as
+        # multiple files so each becomes one micro-batch (prod shape:
+        # daily drops landing in an ingest directory)
+        src = f"{args.output}/stream_src"
+        docs.repartition(4).write.mode("overwrite").parquet(src)
+        store = f"{args.output}/dedup_store"
+        q = streaming_near_dups(spark, src, docs.schema, store)
+        q.awaitTermination()
+        pairs = near_dup_pairs(spark, store)
+        pairs.write.mode("overwrite").parquet(f"{args.output}/near_dup_pairs")
+        mlog.log_counters(run_id, "stream_dedup", {"n_pairs": pairs.count()})
     elif args.job == "vectorize":
         # raster→vector: tile rollup → dissolved regions with degree bbox
         from .operators.tiles import dissolve_tiles, region_bbox_cols

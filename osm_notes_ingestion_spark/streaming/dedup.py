@@ -1,0 +1,177 @@
+"""Streaming incremental near-duplicate detection: MinHash-LSH index
+maintenance over micro-batches.
+
+This is the streaming twin of the batch MinHash pipeline
+(plans/queries_text.q_dedup_minhash_lsh): a training-data ingest at
+10^12-document scale does not re-shingle the whole corpus per day — it
+bands the NEW documents (map-only, operators/textops.
+minhash_band_signatures_sets), equi-joins them against the accumulated
+band-signature store for cross-batch candidates, self-joins them for
+intra-batch candidates, verifies with exact Jaccard over the per-doc
+shingle-set store, and appends the new signatures to the store. Per
+batch the work is O(new docs + candidates), never O(corpus).
+
+Reference analog: the incremental API ingest path (the reference
+processes new notes against the existing base, bin/process/
+processAPINotes.sh) — here generalized to similarity state rather than
+note state.
+
+Settled-result invariant (pytest: tests/test_streaming_dedup.py): after
+all batches are processed, the accumulated pair table is EXACTLY the
+batch pipeline's output on the full corpus — every LSH candidate pair
+(band, bandsig)-matches either within one batch (self-join) or across
+batches (new×store join, discovered when its later member arrives), and
+verification uses the identical arrays, so the union over batches is the
+full-corpus candidate set with no duplicates beyond the distinct.
+
+Exactly-once: every writer is keyed by micro-batch id
+(`batch_id=N` subdirectories, overwritten on replay), the idempotent
+foreachBatch pattern — a replayed batch rewrites the same rows instead
+of appending duplicates. Readers glob the store root.
+
+Contract: doc ids are unique across the stream (append-only corpus).
+A replayed FILE is handled by batch-id idempotency; a re-INGESTED doc
+id under a NEW batch is upstream's bug (same as the reference's note-id
+uniqueness) — the self-pair guard keeps it from matching itself, but
+its stale signatures remain in the store.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.textops import (
+    doc_shingle_sets,
+    jaccard_filter_sets,
+    lsh_candidate_pairs,
+    minhash_band_signatures_sets,
+)
+
+_EMPTY_PAIRS = "id_a long, id_b long"
+
+
+def _store(
+    spark: SparkSession, path: str, schema: str, exclude_batch_id: int | None = None
+) -> DataFrame:
+    """Read a batch-id-partitioned parquet store; empty DF if absent.
+
+    exclude_batch_id: on a foreachBatch REPLAY the store already holds
+    the replayed batch's own rows — excluding them makes reprocessing
+    idempotent (the batch must see exactly the state its first run saw)."""
+    if os.path.isdir(path) and any(
+        e.startswith("batch_id=") for e in os.listdir(path)
+    ):
+        df = spark.read.option("basePath", path).parquet(path)
+        if exclude_batch_id is not None:
+            df = df.where(F.col("batch_id") != int(exclude_batch_id))
+        return df.drop("batch_id")
+    return spark.createDataFrame([], schema)
+
+
+def process_dedup_batch(
+    spark: SparkSession,
+    batch: DataFrame,
+    batch_id: int,
+    store_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 16,
+    rows_per_band: int = 4,
+    threshold: float = 0.8,
+) -> None:
+    """One micro-batch of the incremental LSH pipeline (see module doc).
+
+    Layout under store_dir: bands/ and sets/ hold the accumulated
+    signature and shingle-set stores, pairs/ the verified near-dup pairs
+    — all partitioned by batch_id for idempotent replay."""
+    bands_dir = os.path.join(store_dir, "bands")
+    sets_dir = os.path.join(store_dir, "sets")
+    pairs_dir = os.path.join(store_dir, "pairs")
+
+    new_sets = doc_shingle_sets(batch, id_col=id_col, text_col=text_col).persist()
+    new_bands = minhash_band_signatures_sets(
+        new_sets, id_col=id_col, n_hashes=n_hashes, rows_per_band=rows_per_band
+    ).persist()
+
+    # intra-batch candidates: the ordinary banded self-join
+    intra = lsh_candidate_pairs(new_bands, id_col=id_col)
+    # cross-batch candidates: new bands vs the accumulated store — the
+    # store side never re-joins itself (those pairs were emitted when
+    # their own batch arrived)
+    old_bands = _store(
+        spark,
+        bands_dir,
+        f"{id_col} long, band int, bandsig string",
+        exclude_batch_id=batch_id,
+    )
+    nb = new_bands.select(F.col(id_col).alias("_nid"), "band", "bandsig")
+    ob = old_bands.select(F.col(id_col).alias("_oid"), "band", "bandsig")
+    cross = (
+        nb.join(ob, ["band", "bandsig"])
+        .where(F.col("_nid") != F.col("_oid"))
+        .select(
+            F.least("_nid", "_oid").alias("id_a"),
+            F.greatest("_nid", "_oid").alias("id_b"),
+        )
+        .distinct()
+    )
+    cands = intra.unionByName(cross).distinct().persist()
+
+    # verification needs both sides' shingle sets: new + accumulated
+    old_sets = _store(
+        spark,
+        sets_dir,
+        f"{id_col} long, shset array<string>",
+        exclude_batch_id=batch_id,
+    )
+    all_sets = new_sets.unionByName(old_sets)
+    verified = jaccard_filter_sets(cands, all_sets, id_col=id_col, threshold=threshold)
+
+    # batch-id-keyed writes: a foreachBatch replay overwrites, not appends
+    verified.write.mode("overwrite").parquet(
+        os.path.join(pairs_dir, f"batch_id={int(batch_id)}")
+    )
+    new_bands.write.mode("overwrite").parquet(
+        os.path.join(bands_dir, f"batch_id={int(batch_id)}")
+    )
+    new_sets.write.mode("overwrite").parquet(
+        os.path.join(sets_dir, f"batch_id={int(batch_id)}")
+    )
+    for df in (new_sets, new_bands, cands):
+        df.unpersist(blocking=False)
+
+
+def streaming_near_dups(
+    spark: SparkSession,
+    source_dir: str,
+    schema,
+    store_dir: str,
+    **kwargs,
+):
+    """readStream over a document directory → foreachBatch incremental
+    LSH (process_dedup_batch). Returns the started StreamingQuery; run
+    with trigger(availableNow=True) + awaitTermination for the settled
+    result, then read near_dup_pairs(store_dir)."""
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(source_dir)
+    )
+    return (
+        stream.writeStream.foreachBatch(
+            lambda b, bid: process_dedup_batch(spark, b, bid, store_dir, **kwargs)
+        )
+        .option(
+            "checkpointLocation", os.path.join(store_dir, "_stream_checkpoint")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def near_dup_pairs(spark: SparkSession, store_dir: str) -> DataFrame:
+    """The accumulated verified pair table (settled after the stream)."""
+    return _store(spark, os.path.join(store_dir, "pairs"), _EMPTY_PAIRS)

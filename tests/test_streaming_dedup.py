@@ -1,0 +1,92 @@
+"""Streaming incremental MinHash-LSH dedup: settled result ≡ the batch
+pipeline on the full corpus, and batch replays are idempotent."""
+
+import glob
+import os
+import shutil
+
+import pytest
+
+from osm_notes_ingestion_spark.operators.textops import (
+    doc_shingle_sets,
+    jaccard_filter_sets,
+    lsh_candidate_pairs,
+    minhash_band_signatures_sets,
+)
+from osm_notes_ingestion_spark.streaming.dedup import (
+    near_dup_pairs,
+    process_dedup_batch,
+    streaming_near_dups,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "text")
+
+
+def _batch_pairs(spark, docs):
+    sets = doc_shingle_sets(docs).persist()
+    pairs = jaccard_filter_sets(
+        lsh_candidate_pairs(minhash_band_signatures_sets(sets)), sets
+    )
+    out = sorted((r.id_a, r.id_b) for r in pairs.collect())
+    sets.unpersist(blocking=False)
+    return out
+
+
+@pytest.fixture()
+def dirs(tmp_path):
+    src = str(tmp_path / "src")
+    store = str(tmp_path / "store")
+    os.makedirs(src)
+    yield src, store
+    shutil.rmtree(str(tmp_path), ignore_errors=True)
+
+
+def _write_slices(spark, docs, src, n_slices=3):
+    """One parquet FILE per slice in one source dir → one micro-batch
+    per slice under maxFilesPerTrigger=1."""
+    ids = sorted(r.doc_id for r in docs.select("doc_id").collect())
+    bounds = [ids[int(len(ids) * i / n_slices)] for i in range(1, n_slices)] + [
+        ids[-1] + 1
+    ]
+    lo = None
+    for i, hi in enumerate(bounds):
+        sl = docs.where(f"doc_id < {hi}" + (f" AND doc_id >= {lo}" if lo else ""))
+        tmp = f"{src}_tmp{i}"
+        sl.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = glob.glob(f"{tmp}/part-*.parquet")[0]
+        shutil.move(part, os.path.join(src, f"slice_{i}.parquet"))
+        shutil.rmtree(tmp, ignore_errors=True)
+        lo = hi
+
+
+def test_streaming_settled_equals_batch(spark, dirs):
+    src, store = dirs
+    docs = _docs(spark)
+    _write_slices(spark, docs, src, n_slices=3)
+    q = streaming_near_dups(spark, src, docs.schema, store)
+    q.awaitTermination()
+    got = sorted((r.id_a, r.id_b) for r in near_dup_pairs(spark, store).collect())
+    want = _batch_pairs(spark, docs)
+    assert got == want and len(want) > 0
+
+
+def test_replayed_batch_is_idempotent(spark, dirs):
+    _, store = dirs
+    docs = _docs(spark)
+    first = docs.where("doc_id % 2 = 0")
+    second = docs.where("doc_id % 2 = 1")
+    process_dedup_batch(spark, first, 0, store)
+    process_dedup_batch(spark, second, 1, store)
+    settled = sorted(
+        (r.id_a, r.id_b) for r in near_dup_pairs(spark, store).collect()
+    )
+    # replay batch 1 (same id): stores must be unchanged, not doubled
+    process_dedup_batch(spark, second, 1, store)
+    replayed = sorted(
+        (r.id_a, r.id_b) for r in near_dup_pairs(spark, store).collect()
+    )
+    assert replayed == settled == _batch_pairs(spark, docs)
