@@ -306,3 +306,49 @@ def test_multimodal_decoder_both_states(spark):
         # not silently fake dimensions
         with _pytest.raises(Exception):
             extract_media_metadata(df, decoder="pil").collect()
+
+
+def test_array_path_equals_row_path_on_adversarial_texts(spark):
+    """The array-shaped pipeline (doc_shingle_sets →
+    minhash_band_signatures_sets → jaccard_filter_sets) is bit-identical
+    to the row-shaped one on texts chosen to hit its edges: empty,
+    whitespace-only, <k words, exactly k words, repeated shingles,
+    unicode, and exact duplicates."""
+    from osm_notes_ingestion_spark.operators.textops import (
+        doc_shingle_sets,
+        jaccard_filter_sets,
+        minhash_band_signatures_sets,
+    )
+
+    rows = [
+        (1, ""),
+        (2, "   "),
+        (3, "one two"),  # < k words
+        (4, "one two three"),  # exactly k
+        (5, "one two three"),  # exact duplicate of 4
+        (6, "a b a b a b a b a b"),  # heavy shingle repetition
+        (7, "a b a b a b a b a b"),
+        (8, "ünïcode wörds ärë fïnë ünïcode wörds ärë fïnë ok"),
+        (9, "ünïcode wörds ärë fïnë ünïcode wörds ärë fïnë ok"),
+        (10, "one two three four five six seven eight nine ten"),
+        (11, "one two three four five six seven eight nine eleven"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    sh = word_shingles(docs)
+    row_bands = lsh_band_signatures(minhash_signatures(sh))
+    sets = doc_shingle_sets(docs)
+    arr_bands = minhash_band_signatures_sets(sets)
+    key = lambda r: (r.doc_id, r.band, r.bandsig)  # noqa: E731
+    assert sorted(map(key, arr_bands.collect())) == sorted(
+        map(key, row_bands.collect())
+    )
+
+    cands = lsh_candidate_pairs(arr_bands)
+    row_pairs = jaccard_filter(cands, sh, threshold=0.8)
+    arr_pairs = jaccard_filter_sets(cands, sets, threshold=0.8)
+    pkey = lambda r: (r.id_a, r.id_b)  # noqa: E731
+    got = sorted(map(pkey, arr_pairs.collect()))
+    assert got == sorted(map(pkey, row_pairs.collect()))
+    # the planted exact dups must survive verification
+    assert {(4, 5), (6, 7), (8, 9)} <= set(got)
