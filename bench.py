@@ -97,7 +97,9 @@ def best_of(
         ts.append(round(dt, 3))
         if len(ts) >= n:
             best_steal = steals[ts.index(min(ts))]
-            if 0 <= best_steal <= quiet_pct or len(ts) >= n + max_extra:
+            # unmeasurable steal (-1: no /proc/stat) is neutral, not
+            # contended — extras fire only on a MEASURED noisy window
+            if best_steal < 0 or best_steal <= quiet_pct or len(ts) >= n + max_extra:
                 break
     return min(ts), ts, steals
 

@@ -115,6 +115,9 @@ def knn(
             qid in stats and stats[qid][0] >= k and stats[qid][1] < bound for qid in qids.tolist()
         )
         if ok or radius >= n:  # whole world covered → exact by exhaustion
+            # the result is local — nothing reachable from it uses the
+            # cached index, so holding it would leak for the session
+            pts.unpersist(blocking=False)
             return spark.createDataFrame(rows_out, topk.schema)
         radius *= 2
 

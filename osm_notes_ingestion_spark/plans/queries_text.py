@@ -101,12 +101,19 @@ def q_dedup_jaccard(spark, sf_dir):
     to validate against."""
     c = _corpus(spark, sf_dir)
     sh = word_shingles(c)
+    # persist the cross join: jaccard_filter references `pairs` three
+    # times (id-set restriction + both pair joins) — unpersisted, the
+    # O(n²) cross would be EVALUATED three times. Single-slot cache as
+    # in q_dedup_minhash_lsh (bounded: baseline-only, gate-scale input).
+    while _SHINGLE_CACHE_SLOT:
+        _SHINGLE_CACHE_SLOT.pop().unpersist(blocking=False)
     all_pairs = (
         sh.select(F.col("doc_id").alias("id_a"))
         .distinct()
         .crossJoin(sh.select(F.col("doc_id").alias("id_b")).distinct())
         .where(F.col("id_a") < F.col("id_b"))
-    )
+    ).persist()
+    _SHINGLE_CACHE_SLOT.append(all_pairs)
     return jaccard_filter(all_pairs, sh, threshold=0.8)
 
 

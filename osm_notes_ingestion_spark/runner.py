@@ -183,10 +183,13 @@ def main(argv: list[str] | None = None) -> None:
         )
         exact.write.mode("overwrite").parquet(f"{args.output}/dedup_exact")
         sets = doc_shingle_sets(docs).persist()
-        cands = lsh_candidate_pairs(minhash_band_signatures_sets(sets))
+        # persist cands: jaccard_filter_sets references it three times
+        # (broadcast id set + both pair joins)
+        cands = lsh_candidate_pairs(minhash_band_signatures_sets(sets)).persist()
         pairs = jaccard_filter_sets(cands, sets, threshold=0.8)
         pairs.write.mode("overwrite").parquet(f"{args.output}/near_dup_pairs")
         sets.unpersist(blocking=False)
+        cands.unpersist(blocking=False)
         # cluster resolution: pairs → transitive groups → canonical doc
         from .operators.components import dedup_cluster_labels
 
@@ -214,8 +217,17 @@ def main(argv: list[str] | None = None) -> None:
         # multiple files so each becomes one micro-batch (prod shape:
         # daily drops landing in an ingest directory)
         src = f"{args.output}/stream_src"
-        docs.repartition(4).write.mode("overwrite").parquet(src)
         store = f"{args.output}/dedup_store"
+        # re-run safety: staging writes fresh randomly-named part files,
+        # so a persisted checkpoint+store would re-ingest every doc under
+        # new batch ids (duplicate pairs, stale signatures) — this job
+        # OWNS its output dir like every other runner job (mode
+        # overwrite), so clear both before streaming
+        import shutil
+
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(store, ignore_errors=True)
+        docs.repartition(4).write.mode("overwrite").parquet(src)
         q = streaming_near_dups(spark, src, docs.schema, store)
         q.awaitTermination()
         pairs = near_dup_pairs(spark, store)

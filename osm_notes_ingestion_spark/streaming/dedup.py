@@ -9,7 +9,12 @@ minhash_band_signatures_sets), equi-joins them against the accumulated
 band-signature store for cross-batch candidates, self-joins them for
 intra-batch candidates, verifies with exact Jaccard over the per-doc
 shingle-set store, and appends the new signatures to the store. Per
-batch the work is O(new docs + candidates), never O(corpus).
+batch the SHUFFLED/computed volume is O(new docs + candidates); the
+store-side cost is a SCAN of the accumulated signature and shingle-set
+files. At deployment scale that scan is what layout kills: bucket the
+bands store by bandsig and the sets store by id so the candidate
+equi-join and the verify semi-join prune to matching buckets instead of
+reading every file (the logic here is layout-agnostic).
 
 Reference analog: the incremental API ingest path (the reference
 processes new notes against the existing base, bin/process/
@@ -60,9 +65,17 @@ def _store(
 
     exclude_batch_id: on a foreachBatch REPLAY the store already holds
     the replayed batch's own rows — excluding them makes reprocessing
-    idempotent (the batch must see exactly the state its first run saw)."""
-    if os.path.isdir(path) and any(
-        e.startswith("batch_id=") for e in os.listdir(path)
+    idempotent (the batch must see exactly the state its first run saw).
+
+    Existence is checked through the Hadoop FileSystem API so the store
+    may live on any Spark-reachable filesystem (HDFS/S3/local), not just
+    the driver's local disk."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(hpath) and any(
+        st.getPath().getName().startswith("batch_id=")
+        for st in fs.listStatus(hpath)
     ):
         df = spark.read.option("basePath", path).parquet(path)
         if exclude_batch_id is not None:

@@ -54,7 +54,9 @@ def _write_slices(spark, docs, src, n_slices=3):
     ]
     lo = None
     for i, hi in enumerate(bounds):
-        sl = docs.where(f"doc_id < {hi}" + (f" AND doc_id >= {lo}" if lo else ""))
+        sl = docs.where(
+            f"doc_id < {hi}" + (f" AND doc_id >= {lo}" if lo is not None else "")
+        )
         tmp = f"{src}_tmp{i}"
         sl.coalesce(1).write.mode("overwrite").parquet(tmp)
         part = glob.glob(f"{tmp}/part-*.parquet")[0]
