@@ -212,3 +212,25 @@ def test_salted_equals_broadcast_path(spark, sf_dir):
         .collect()
     }
     assert got == want
+
+
+def test_array_minhash_bands_have_no_exchange(spark):
+    """The array-shaped MinHash path is map-only end to end: from the
+    corpus scan to (id, band, bandsig) there must be ZERO exchanges —
+    the first shuffle in the whole LSH pipeline is the banded candidate
+    self-join. (The row-shaped path necessarily shuffles for its per-doc
+    groupBy min; this asserts the array path really removed it.)"""
+    import re
+
+    from osm_notes_ingestion_spark.operators.textops import (
+        doc_shingle_sets,
+        minhash_band_signatures_sets,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "one two three four five") for i in range(10)],
+        "doc_id long, text string",
+    )
+    bands = minhash_band_signatures_sets(doc_shingle_sets(docs))
+    plan = bands._jdf.queryExecution().executedPlan().toString()
+    assert re.findall(r"Exchange (\w+)", plan) == []
