@@ -221,14 +221,28 @@ _COVER_FRAG_SCHEMA = T.StructType(
 )
 
 
-def ring_rows_df(spark: SparkSession, polys: list[dict]) -> DataFrame:
+def ring_rows_df(
+    spark: SparkSession, polys: list[dict], densify_bands: bool = True
+) -> DataFrame:
     """Driver-side list-of-polygons → ring-rows DataFrame (the same shape
     read_geojson_features emits) — for tests/gates and small dims; large
-    dims should come straight from the GeoJSON reader."""
+    dims should come straight from the GeoJSON reader.
+
+    densify_bands: full-longitude planar bands (polar caps) must arrive
+    DENSIFIED so the antimeridian splitter downstream does not read
+    their >180° planar edges as seam crossings — the same encoding
+    contract world_to_geojson_lines applies when writing GeoJSON
+    fixtures. Default on (the synthetic world is all bands/normal
+    rings); pass False when feeding raw CROSSING encodings, whose >180°
+    jump edges ARE the splitter's signal and must not be subdivided."""
+    from .geojson import _densify
+
     rows = []
     for p in polys:
         for ri, r in enumerate(p["rings"]):
             rr = np.asarray(r, dtype=np.float64)
+            if densify_bands:
+                rr = _densify(rr)
             rows.append(
                 (
                     int(p["country_id"]),
@@ -264,7 +278,7 @@ def prep_polygons_distributed(
     from ..functions.cells import cell_bounds
     from ..functions.geometry import clip_rings_box, cover_polygon
     from ..functions.geometry import repair_rings as _repair
-    from .geojson import _densify, split_antimeridian
+    from .geojson import split_antimeridian
 
     def build(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(["part", "ring"])
@@ -277,13 +291,23 @@ def prep_polygons_distributed(
             for lons, lats in zip(pdf["lons"], pdf["lats"])
         ]
         if autosplit:
-            # densify wide edges FIRST (same convention as the GeoJSON
-            # fixture writer): a full-longitude band encoded with 4
-            # vertices grown past ±180 would otherwise look like a
-            # seam-crossing sliver to the splitter and get mangled;
-            # after densification only genuine >180° jump edges remain
-            rings = [_densify(r) for r in rings]
-            rings, _did, _unsplittable = split_antimeridian(rings)
+            # SPLIT FIRST on the raw rings, same order as the driver
+            # loader (load_polygons_geojson): the >180° jump edges ARE
+            # the crossing signal — densifying here would subdivide them
+            # below the threshold and silently index a 340°-wide planar
+            # artifact. Full-longitude planar bands must arrive
+            # pre-densified from the source (ring_rows_df /
+            # world_to_geojson_lines encoding contract).
+            rings, _did, unsplittable = split_antimeridian(rings)
+            if unsplittable:
+                # no stats channel on executors — fail loud rather than
+                # silently cover geometry with wrong cross-seam
+                # containment (driver path: on_error='fail' raises too)
+                raise ValueError(
+                    f"feature country_id={cid}: ring crosses the antimeridian "
+                    "but its unwrapped lon span is >= 180° — cannot be "
+                    "auto-split; pre-split the geometry before distributed prep"
+                )
         if repair:
             rings, _method = _repair(rings)
         out = {"cell": [], "priority": [], "country_id": [], "full": [], "frag": []}

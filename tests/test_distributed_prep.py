@@ -142,3 +142,63 @@ def test_clip_box_parity_on_lattice_points():
         full = points_in_rings(px, py, rings)
         clipped = points_in_rings(px, py, frag) if frag else np.zeros(len(px), dtype=bool)
         assert np.array_equal(full, clipped), f"trial {trial}: clip parity broken"
+
+
+def test_distributed_prep_splits_antimeridian_crossing(spark):
+    """A raw crossing ring (the fused EEZ encoding: lon jumps 170 → -170)
+    must be auto-split by the DISTRIBUTED path exactly as the driver
+    loader does — regression for densify-before-split, which subdivided
+    the >180° jump edges below the splitter's threshold and silently
+    indexed a 340°-wide planar artifact."""
+    from osm_notes_ingestion_spark.sources.geojson import split_antimeridian
+
+    crossing = {
+        "country_id": 7001,
+        "priority": 0,
+        "name": "strait",
+        "rings": [
+            np.array([[170.0, -10.0], [-170.0, -10.0], [-170.0, 10.0], [170.0, 10.0]])
+        ],
+    }
+    rows = ring_rows_df(spark, [crossing], densify_bands=False)
+    cover = prep_polygons_distributed(spark, rows, level=6).collect()
+    assert len(cover) > 0
+
+    # driver twin: split first, then cover — cells must match exactly
+    split_rings, did, unsplittable = split_antimeridian(
+        [r.copy() for r in crossing["rings"]]
+    )
+    assert did and not unsplittable
+    drv = prep_polygons([{**crossing, "rings": split_rings}], level=6)
+    assert sorted((r.cell, r.full) for r in cover) == sorted(
+        zip(drv.cells.tolist(), drv.fulls.tolist())
+    )
+
+    # the planar artifact would cover lon≈0 — the split result must NOT
+    mid_cells = {
+        c for c, f in ((r.cell, r.full) for r in cover) if f
+    }
+    from osm_notes_ingestion_spark.functions.cells import encode as cell_encode
+
+    assert int(cell_encode(np.array([0.0]), np.array([0.0]), 6)[0]) not in mid_cells
+
+
+def test_distributed_prep_fails_loud_on_unsplittable(spark):
+    """A crossing ring whose unwrapped lon span is >= 180° cannot be
+    auto-split; the distributed path must FAIL (driver path raises under
+    on_error='fail'), never silently index it."""
+    import pytest as _pytest
+
+    # the 170→-170 edge is a genuine >180° jump (|dlon|=340), but the
+    # unwrapped ring spans 0..190 ≥ 180° — no seam placement can split it
+    wide = {
+        "country_id": 7002,
+        "priority": 0,
+        "name": "too-wide",
+        "rings": [
+            np.array([[0.0, -10.0], [170.0, -10.0], [-170.0, 0.0], [0.0, 10.0]])
+        ],
+    }
+    rows = ring_rows_df(spark, [wide], densify_bands=False)
+    with _pytest.raises(Exception, match="antimeridian|unwrapped"):
+        prep_polygons_distributed(spark, rows, level=6).collect()
