@@ -182,11 +182,17 @@ def count_ignored_transitions(
     )
 
 
+def gap_frame(notes: DataFrame, comments: DataFrame, note_key: str = "note_id") -> DataFrame:
+    """The gap set itself: notes with no comments (anti-join)."""
+    return notes.join(comments.select(note_key).distinct(), note_key, "left_anti")
+
+
 def gap_stats(
     notes: DataFrame,
     comments: DataFrame,
     note_key: str = "note_id",
     max_ids: int | None = None,
+    gaps: DataFrame | None = None,
 ) -> DataFrame:
     """J5+A4: notes with no comments — count, percentage, sorted id list
     (json_agg analog: to_json(sort_array(collect_list()))).
@@ -198,8 +204,12 @@ def gap_stats(
     the SMALLEST max_ids ids (deterministic TakeOrdered — bounded driver
     and row size, never a full collect_list) while n_gaps/gap_pct stay
     exact. max_ids=None keeps the reference-faithful full listing.
+
+    `gaps`: pass a (possibly persisted) gap_frame() to share the
+    anti-join across several gap_stats calls on the same inputs.
     """
-    gaps = notes.join(comments.select(note_key).distinct(), note_key, "left_anti")
+    if gaps is None:
+        gaps = gap_frame(notes, comments, note_key)
     total = notes.select(F.countDistinct(note_key).alias("_t"))
     counts = gaps.agg(F.countDistinct(note_key).alias("n_gaps"))
     if max_ids is None:
@@ -209,9 +219,14 @@ def gap_stats(
     else:
         # bound BEFORE the aggregation: orderBy+limit plans as
         # TakeOrdered (per-partition top-k then merge), so the listing
-        # never materializes the full gap set anywhere
+        # never materializes the full gap set anywhere. Null keys (never
+        # listed — collect_list drops them, as does the full branch)
+        # are filtered BEFORE the limit so they cannot consume slots
+        # (Spark sorts NULLS FIRST: a null-heavy gap set would otherwise
+        # return fewer than max_ids real ids)
         listed = (
             gaps.select(note_key)
+            .where(F.col(note_key).isNotNull())
             .orderBy(note_key)
             .limit(max_ids)
             .agg(F.to_json(F.sort_array(F.collect_list(note_key))).alias("gap_ids"))

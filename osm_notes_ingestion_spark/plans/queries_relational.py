@@ -63,7 +63,13 @@ def q_status_fold(spark, sf_dir):
     ignored = count_ignored_transitions(ev, seq_col="seq").select(
         F.col("note_id").alias("user_id"), "n_ignored"
     )
-    return folded.join(ignored, "user_id")
+    # LEFT join + 0 fill: a user with no closed/reopened/hidden events
+    # has no ignored-counter row, but their fold row (pure 'open') is
+    # exactly the branch this gate must keep covering — an inner join
+    # would silently drop it from verification
+    return folded.join(ignored, "user_id", "left").withColumn(
+        "n_ignored", F.coalesce(F.col("n_ignored"), F.lit(0))
+    )
 
 
 SQL_STATUS_FOLD = f"""WITH e AS (
@@ -120,9 +126,11 @@ SELECT user_id,
 FROM sub GROUP BY user_id"""
 
 
-# combined status_fold gate = fold + ignored counter joined per user
-SQL_STATUS_FOLD_FULL = f"""SELECT sf.user_id, sf.status, sf.closed_at, it.n_ignored
-FROM ({SQL_STATUS_FOLD}) sf JOIN ({SQL_IGNORED_TRANSITIONS}) it USING (user_id)"""
+# combined status_fold gate = fold + ignored counter LEFT-joined per
+# user (users with no c/r/h events keep their pure-'open' fold row)
+SQL_STATUS_FOLD_FULL = f"""SELECT sf.user_id, sf.status, sf.closed_at,
+       COALESCE(it.n_ignored, 0) AS n_ignored
+FROM ({SQL_STATUS_FOLD}) sf LEFT JOIN ({SQL_IGNORED_TRANSITIONS}) it USING (user_id)"""
 
 
 # ---------------------------------------------------------- dedup / upsert
@@ -307,11 +315,22 @@ def q_gap_stats(spark, sf_dir):
     items = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
         F.col("l_orderkey").alias("note_id")
     )
-    full = gap_stats(orders, items)
-    capped = gap_stats(orders, items, max_ids=100).select(
+    # ONE shared anti-join for both listings (persisted via the module
+    # single-slot so gate re-runs don't accumulate cached copies)
+    from ..operators.merge import gap_frame
+
+    while _GAPS_CACHE_SLOT:
+        _GAPS_CACHE_SLOT.pop().unpersist(blocking=False)
+    gaps = gap_frame(orders, items).persist()
+    _GAPS_CACHE_SLOT.append(gaps)
+    full = gap_stats(orders, items, gaps=gaps)
+    capped = gap_stats(orders, items, max_ids=100, gaps=gaps).select(
         F.col("gap_ids").alias("gap_ids_capped")
     )
     return full.crossJoin(capped)
+
+
+_GAPS_CACHE_SLOT: list = []
 
 
 SQL_GAP_STATS = """WITH g AS (

@@ -222,11 +222,14 @@ def main(argv: list[str] | None = None) -> None:
         # so a persisted checkpoint+store would re-ingest every doc under
         # new batch ids (duplicate pairs, stale signatures) — this job
         # OWNS its output dir like every other runner job (mode
-        # overwrite), so clear both before streaming
-        import shutil
-
-        shutil.rmtree(src, ignore_errors=True)
-        shutil.rmtree(store, ignore_errors=True)
+        # overwrite), so clear both before streaming. Hadoop FS delete,
+        # not shutil: --output may be on HDFS/S3 (store reads already go
+        # through the Hadoop FS API)
+        jvm = spark._jvm
+        hconf = spark._jsc.hadoopConfiguration()
+        for p in (src, store):
+            hp = jvm.org.apache.hadoop.fs.Path(p)
+            hp.getFileSystem(hconf).delete(hp, True)
         docs.repartition(4).write.mode("overwrite").parquet(src)
         q = streaming_near_dups(spark, src, docs.schema, store)
         q.awaitTermination()

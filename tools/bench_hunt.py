@@ -61,14 +61,15 @@ def run_bench() -> dict | None:
 def append_session(rec: dict) -> None:
     # newline-terminate before append so a torn tail can't swallow this
     # record (same healing convention as SnapshotStore's manifest)
-    mode = "a"
     if os.path.exists(LOG):
         with open(LOG, "rb") as f:
             f.seek(0, 2)
-            if f.tell() and not f.read()[-1:] == b"\n":
-                with open(LOG, "a") as g:
-                    g.write("\n")
-    with open(LOG, mode) as f:
+            if f.tell():
+                f.seek(-1, 2)  # read() AT EOF returns b'' — inspect the last byte
+                if f.read(1) != b"\n":
+                    with open(LOG, "a") as g:
+                        g.write("\n")
+    with open(LOG, "a") as f:
         f.write(json.dumps(rec) + "\n")
 
 
