@@ -10,8 +10,14 @@ Usage (north rule: `spark-submit --py-files <zip> runner.py ...`):
 
 Jobs:
     assign — pages → extract → country assignment (+ metrics + lineage)
+    fused  — one-Arrow-pass extract+assign (raw-throughput pipeline)
     tiles  — assignment → z/x/y pyramid
-    knn    — k nearest pages for --query-points "id:lat:lon,..."
+    knn / knn_bulk — k nearest pages (driver list / query DataFrame)
+    dedup — exact + MinHash-LSH near-dup pairs + cluster labels
+    stream_dedup — incremental foreachBatch LSH over staged file drops
+    vectorize — tile rollup → dissolved regions (raster→vector)
+    dwithin — sites-within-radius proximity join
+    sessions — gap-based sessionization stats
     incremental — watermark-bounded batch into the snapshot store
 
 Writes parquet outputs under --output and metrics under --output/metrics.
