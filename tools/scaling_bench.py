@@ -263,7 +263,7 @@ Reference anchor: OSM-Notes-Ingestion assigns ~4.8M notes in 3 h on a
 16-thread Postgres host ≈ 445 notes/s (README.md:140-142). This engine
 at {n_hi} pinned cores sustains {report['n4_pages_per_sec']} pages/s
 INCLUDING html extraction; at 32 unpinned threads the flagship reaches
-~1.05M pages/s on materialized parquet (bench.py).
+~1.15M pages/s on materialized parquet (bench.py).
 {_headline_sessions_md()}
 Generated by tools/scaling_bench.py on {report['timestamp']}.
 """
