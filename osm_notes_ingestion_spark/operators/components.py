@@ -80,12 +80,13 @@ def connected_components(
     guards the O(log² n) convergence bound — 30 rounds covers any graph
     this side of 2^30 nodes of pathological chain structure.
 
-    The convergence test is an order-insensitive checksum (count +
-    bit_xor of xxhash64) of the canonical edge set: a fixpoint of
-    large∘small star IS the star forest (paper, Lemma 4.1); checksum
-    collision would need two distinct edge sets agreeing on count and
-    64-bit xor — vanishingly unlikely, and harmless one round later
-    because the fixpoint re-checks.
+    The convergence test is two-stage: an order-insensitive checksum
+    (count + bit_xor of xxhash64) of the canonical edge set as the cheap
+    per-round filter, then — only on a checksum match — an exact
+    `exceptAll(...).isEmpty()` confirmation before exiting. A checksum
+    collision between distinct edge sets (~2^-64 per round) therefore
+    costs one wasted confirmation job and the loop continues; it can
+    never exit on a non-star-forest and mislabel components.
 
     Lineage discipline: every round LOCAL-CHECKPOINTS its edge set
     (eager). Plain cache() leaves the full logical plan in place, and
@@ -102,6 +103,7 @@ def connected_components(
     )
     prev_sig = None
     for _ in range(max_iter):
+        e_prev = e
         e2 = _canon(_star(_canon(_star(e, large=True)), large=False)).localCheckpoint(eager=True)
         row = e2.agg(
             F.count("*").alias("n"),
@@ -109,7 +111,10 @@ def connected_components(
         ).collect()[0]
         sig = (row["n"], row["x"])
         e = e2
-        if sig == prev_sig:
+        # sig match ⇒ counts are exactly equal (count is not hashed), so
+        # one-direction exceptAll emptiness confirms multiset equality —
+        # a checksum collision continues the loop instead of mislabeling
+        if sig == prev_sig and e2.exceptAll(e_prev).isEmpty():
             break
         prev_sig = sig
     else:

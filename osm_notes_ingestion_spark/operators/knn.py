@@ -68,6 +68,7 @@ def knn(
     id_col: str = "id",
     lat_col: str = "lat",
     lon_col: str = "lon",
+    max_driver_queries: int = 4096,
 ) -> DataFrame:
     """→ (query_id, rank, id, d2) — the k nearest points per query.
 
@@ -75,7 +76,21 @@ def knn(
     enumerated driver-side (numpy k_ring) and the loop costs ONE Spark
     job per radius doubling — lighter than `knn_df`'s data-driven
     machinery, which is the right tool from ~10³ queries up. Metric,
-    ranking and bound are shared helpers, so the two cannot diverge."""
+    ranking and bound are shared helpers, so the two cannot diverge.
+
+    DRIVER-MEMORY CONTRACT: each iteration collects the ≤ k·|queries|
+    top-k rows to the driver and the returned DataFrame is driver-local
+    (parallelized from those rows), NOT a distributed plan over `points`.
+    max_driver_queries enforces the contract explicitly — above it the
+    k·|queries| materialization belongs on executors, so callers are
+    directed to knn_df (same semantics, per-query radius as data)."""
+    if len(queries) > max_driver_queries:
+        raise ValueError(
+            f"knn(): {len(queries)} queries exceeds max_driver_queries="
+            f"{max_driver_queries}; this path collects k*|queries| rows to "
+            "the driver per radius iteration — use knn_df for large query "
+            "sets (distributed, per-query radius carried as data)"
+        )
     pts = _pts_index(points, id_col, lat_col, lon_col, level).cache()
     n = 1 << level
     cell_h_e6 = 180.0 / n * 1e6

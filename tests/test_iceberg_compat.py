@@ -65,29 +65,81 @@ def _iceberg_jar_probe() -> tuple[str | None, str]:
 
 _ICEBERG_JAR, _ICEBERG_PROBE = _iceberg_jar_probe()
 
-# Both backends parametrize the same semantic suite: 'emulated' is the
-# parquet+JSONL-manifest SnapshotStore (always runs); 'iceberg' runs the
-# identical assertions against a real Iceberg catalog when the runtime
-# jar is obtainable — the skip reason records the actual probe outcome.
-BACKENDS = [
-    "emulated",
-    pytest.param(
-        "iceberg",
-        marks=pytest.mark.skipif(
-            _ICEBERG_JAR is None, reason=f"real-Iceberg backend: {_ICEBERG_PROBE}"
-        ),
-    ),
-]
 
-
-@pytest.fixture(params=BACKENDS)
-def make_store(request, tmp_path):
-    if request.param == "iceberg":
-        # reached only when a runtime jar was found: a real catalog needs
-        # its own SparkSession with the jar + catalog conf, which must be
-        # wired here when the environment first provides the jar
-        pytest.skip(f"iceberg backend wiring pending a jar-bearing environment ({_ICEBERG_PROBE})")
+@pytest.fixture()
+def make_store(tmp_path):
+    # The semantic suite below runs against the emulated store ONLY: most
+    # of its assertions deliberately poke emulation internals (manifest
+    # file, orphan data dirs) that have no real-Iceberg counterpart. The
+    # real backend is exercised by test_real_iceberg_roundtrip, which is
+    # fully wired (jar-bearing session + hadoop catalog) and runs the
+    # moment the environment provides a runtime jar — until then its skip
+    # reason records the probe outcome instead of advertising dead
+    # parametrized coverage (round-3 ADVICE).
     return lambda: SnapshotStore(str(tmp_path / "store"))
+
+
+_ICEBERG_ROUNDTRIP = """
+import sys
+from pyspark.sql import SparkSession
+
+jar, warehouse = sys.argv[1], sys.argv[2]
+s = (
+    SparkSession.builder.master("local[2]")
+    .appName("iceberg-compat")
+    .config("spark.jars", jar)
+    .config(
+        "spark.sql.extensions",
+        "org.apache.iceberg.spark.extensions.IcebergSparkSessionExtensions",
+    )
+    .config("spark.sql.catalog.ice", "org.apache.iceberg.spark.SparkCatalog")
+    .config("spark.sql.catalog.ice.type", "hadoop")
+    .config("spark.sql.catalog.ice.warehouse", warehouse)
+    .getOrCreate()
+)
+s.sql("CREATE TABLE ice.db.assign (id BIGINT, country_id BIGINT) USING iceberg")
+s.sql("INSERT INTO ice.db.assign VALUES (0, 1), (1, 1)")
+s.sql("INSERT INTO ice.db.assign VALUES (0, 2), (1, 2)")
+snaps = [
+    r.snapshot_id
+    for r in s.sql(
+        "SELECT snapshot_id FROM ice.db.assign.snapshots ORDER BY committed_at"
+    ).collect()
+]
+assert len(snaps) == 2, snaps
+cur = sorted(tuple(r) for r in s.sql("SELECT * FROM ice.db.assign").collect())
+assert cur == [(0, 2), (1, 2)], cur
+old = sorted(
+    tuple(r)
+    for r in s.sql(f"SELECT * FROM ice.db.assign VERSION AS OF {snaps[0]}").collect()
+)
+assert old == [(0, 1), (1, 1)], old
+print("ICEBERG_ROUNDTRIP_OK")
+s.stop()
+"""
+
+
+@pytest.mark.skipif(_ICEBERG_JAR is None, reason=f"real-Iceberg backend: {_ICEBERG_PROBE}")
+def test_real_iceberg_roundtrip(tmp_path):
+    """Real Iceberg catalog: commit ordering + VERSION AS OF time travel —
+    the two SnapshotStore semantics the emulation claims to mirror
+    (write_snapshot ≈ commit, read_snapshot ≈ VERSION AS OF). Runs in a
+    SUBPROCESS because spark.jars / catalog extensions must be set before
+    JVM launch — getOrCreate() in-process would silently reuse the pytest
+    session without the jar. Runnable as-is the moment a runtime jar is
+    on disk (SPARK_GRAFT_ICEBERG_JAR or pyspark/jars)."""
+    import subprocess
+    import sys
+
+    proc = subprocess.run(
+        [sys.executable, "-c", _ICEBERG_ROUNDTRIP, _ICEBERG_JAR, str(tmp_path / "iceberg_wh")],
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    assert proc.returncode == 0 and "ICEBERG_ROUNDTRIP_OK" in proc.stdout, (
+        proc.stdout[-2000:] + proc.stderr[-2000:]
+    )
 
 
 def _df(spark, vals):

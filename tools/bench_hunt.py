@@ -44,13 +44,19 @@ def steal_pct(window_s: float = 3.0) -> float:
 
 
 def run_bench() -> dict | None:
-    proc = subprocess.run(
-        [sys.executable, os.path.join(REPO, "bench.py")],
-        capture_output=True,
-        text=True,
-        timeout=1800,
-        cwd=REPO,
-    )
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.join(REPO, "bench.py")],
+            capture_output=True,
+            text=True,
+            timeout=1800,
+            cwd=REPO,
+        )
+    except subprocess.TimeoutExpired:
+        # one hung bench run must not abort the remaining probe windows
+        # (the caller's finally already released the lockfile)
+        print("bench timed out after 1800s — skipping this window", flush=True)
+        return None
     for line in reversed(proc.stdout.splitlines()):
         if line.startswith('{"metric"'):
             return json.loads(line)
