@@ -9,12 +9,21 @@ minhash_band_signatures_sets), equi-joins them against the accumulated
 band-signature store for cross-batch candidates, self-joins them for
 intra-batch candidates, verifies with exact Jaccard over the per-doc
 shingle-set store, and appends the new signatures to the store. Per
-batch the SHUFFLED/computed volume is O(new docs + candidates); the
-store-side cost is a SCAN of the accumulated signature and shingle-set
-files. At deployment scale that scan is what layout kills: bucket the
-bands store by bandsig and the sets store by id so the candidate
-equi-join and the verify semi-join prune to matching buckets instead of
-reading every file (the logic here is layout-agnostic).
+batch the SHUFFLED/computed volume is O(new docs + candidates) — and so
+is the store-side READ volume, because both stores are laid out
+hash-BUCKETED (the same layout sources/bucketed.py gives batch tables,
+expressed here as a `bkt=` partition directory inside each batch
+partition): `bands/batch_id=N/bkt=pmod(xxhash64(bandsig), B)` and
+`sets/batch_id=N/bkt=pmod(xxhash64(id), B)`. A micro-batch derives the
+touched-bucket set from its OWN rows (≤B small integers collected to
+the driver) and reads only matching `bkt=` directories. Pruning is
+lossless: a cross-batch candidate requires bandsig equality, and equal
+bandsigs hash to the same bucket; verification reads sets for exact
+candidate ids, and equal ids hash to the same bucket. So the per-batch
+store scan is O(store-size × touched-buckets / B) instead of O(store),
+which is what keeps a year of 15-minute batches readable at 10^12 docs
+(size B so one batch's distinct bandsigs touch a small fraction of it;
+the default here is test-scale, deployment wants 2^10-2^14).
 
 Reference analog: the incremental API ingest path (the reference
 processes new notes against the existing base, bin/process/
@@ -58,6 +67,69 @@ from ..operators.textops import (
 _EMPTY_PAIRS = "id_a long, id_b long"
 
 
+def _fs_and_path(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    return hpath.getFileSystem(spark._jsc.hadoopConfiguration()), hpath
+
+
+def _bkt(col: str, n_buckets: int):
+    """Store bucket id for a key column: non-negative hash mod B.
+
+    xxhash64 is Spark-deterministic across sessions/versions-of-this-repo,
+    so a store written by one job is prunable by every later job."""
+    return F.pmod(F.xxhash64(F.col(col)), F.lit(int(n_buckets))).cast("int")
+
+
+def _touched_buckets(df: DataFrame, col: str, n_buckets: int) -> list[int]:
+    """Distinct store buckets referenced by df[col] — ≤ n_buckets small
+    ints, the one driver collect that buys the pruned read."""
+    return [
+        r[0] for r in df.select(_bkt(col, n_buckets).alias("b")).distinct().collect()
+    ]
+
+
+def _pruned_store(
+    spark: SparkSession,
+    path: str,
+    schema: str,
+    touched: list[int],
+    exclude_batch_id: int | None = None,
+) -> DataFrame:
+    """Read ONLY the `bkt=` directories in `touched` from a
+    batch_id/bkt-partitioned store; empty DF if nothing matches.
+
+    The excluded batch (foreachBatch replay idempotency — the batch must
+    see exactly the state its first run saw) is skipped at the PATH
+    level, so a replay reads zero bytes of its own prior output. The
+    listing walks one FileSystem level (batch dirs), then probes the
+    touched bucket dirs directly — no full-store file listing either."""
+    fs, hpath = _fs_and_path(spark, path)
+    if not touched or not fs.exists(hpath):
+        return spark.createDataFrame([], schema)
+    paths = []
+    for st in fs.listStatus(hpath):
+        name = st.getPath().getName()
+        if not name.startswith("batch_id="):
+            continue
+        if (
+            exclude_batch_id is not None
+            and name == f"batch_id={int(exclude_batch_id)}"
+        ):
+            continue
+        for b in touched:
+            bdir = st.getPath().suffix(f"/bkt={int(b)}")
+            if fs.exists(bdir):
+                paths.append(bdir.toString())
+    if not paths:
+        return spark.createDataFrame([], schema)
+    return (
+        spark.read.option("basePath", path)
+        .parquet(*paths)
+        .drop("batch_id", "bkt")
+    )
+
+
 def _store(
     spark: SparkSession, path: str, schema: str, exclude_batch_id: int | None = None
 ) -> DataFrame:
@@ -70,9 +142,7 @@ def _store(
     Existence is checked through the Hadoop FileSystem API so the store
     may live on any Spark-reachable filesystem (HDFS/S3/local), not just
     the driver's local disk."""
-    jvm = spark._jvm
-    hpath = jvm.org.apache.hadoop.fs.Path(path)
-    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    fs, hpath = _fs_and_path(spark, path)
     if fs.exists(hpath) and any(
         st.getPath().getName().startswith("batch_id=")
         for st in fs.listStatus(hpath)
@@ -94,12 +164,16 @@ def process_dedup_batch(
     n_hashes: int = 16,
     rows_per_band: int = 4,
     threshold: float = 0.8,
+    n_store_buckets: int = 16,
 ) -> None:
     """One micro-batch of the incremental LSH pipeline (see module doc).
 
     Layout under store_dir: bands/ and sets/ hold the accumulated
     signature and shingle-set stores, pairs/ the verified near-dup pairs
-    — all partitioned by batch_id for idempotent replay."""
+    — all partitioned by batch_id for idempotent replay, and the two
+    joined stores additionally by `bkt` (bandsig-hash / id-hash) so each
+    batch reads only the buckets its own rows can match (module doc).
+    n_store_buckets must stay constant for the life of a store."""
     bands_dir = os.path.join(store_dir, "bands")
     sets_dir = os.path.join(store_dir, "sets")
     pairs_dir = os.path.join(store_dir, "pairs")
@@ -113,11 +187,13 @@ def process_dedup_batch(
     intra = lsh_candidate_pairs(new_bands, id_col=id_col)
     # cross-batch candidates: new bands vs the accumulated store — the
     # store side never re-joins itself (those pairs were emitted when
-    # their own batch arrived)
-    old_bands = _store(
+    # their own batch arrived), and only store buckets holding a bandsig
+    # hash the NEW batch produced are read at all
+    old_bands = _pruned_store(
         spark,
         bands_dir,
         f"{id_col} long, band int, bandsig string",
+        touched=_touched_buckets(new_bands, "bandsig", n_store_buckets),
         exclude_batch_id=batch_id,
     )
     nb = new_bands.select(F.col(id_col).alias("_nid"), "band", "bandsig")
@@ -133,26 +209,33 @@ def process_dedup_batch(
     )
     cands = intra.unionByName(cross).distinct().persist()
 
-    # verification needs both sides' shingle sets: new + accumulated
-    old_sets = _store(
+    # verification needs both sides' shingle sets: the new batch's are
+    # in memory; of the accumulated store, only candidate-id buckets
+    cand_ids = cands.select(F.col("id_a").alias(id_col)).unionByName(
+        cands.select(F.col("id_b").alias(id_col))
+    )
+    old_sets = _pruned_store(
         spark,
         sets_dir,
         f"{id_col} long, shset array<string>",
+        touched=_touched_buckets(cand_ids, id_col, n_store_buckets),
         exclude_batch_id=batch_id,
     )
     all_sets = new_sets.unionByName(old_sets)
     verified = jaccard_filter_sets(cands, all_sets, id_col=id_col, threshold=threshold)
 
-    # batch-id-keyed writes: a foreachBatch replay overwrites, not appends
+    # batch-id-keyed writes: a foreachBatch replay overwrites, not
+    # appends (mode=overwrite replaces the whole batch_id=N directory,
+    # bkt subdirs included)
     verified.write.mode("overwrite").parquet(
         os.path.join(pairs_dir, f"batch_id={int(batch_id)}")
     )
-    new_bands.write.mode("overwrite").parquet(
-        os.path.join(bands_dir, f"batch_id={int(batch_id)}")
-    )
-    new_sets.write.mode("overwrite").parquet(
-        os.path.join(sets_dir, f"batch_id={int(batch_id)}")
-    )
+    new_bands.withColumn("bkt", _bkt("bandsig", n_store_buckets)).write.mode(
+        "overwrite"
+    ).partitionBy("bkt").parquet(os.path.join(bands_dir, f"batch_id={int(batch_id)}"))
+    new_sets.withColumn("bkt", _bkt(id_col, n_store_buckets)).write.mode(
+        "overwrite"
+    ).partitionBy("bkt").parquet(os.path.join(sets_dir, f"batch_id={int(batch_id)}"))
     for df in (new_sets, new_bands, cands):
         df.unpersist(blocking=False)
 

@@ -14,6 +14,8 @@ from osm_notes_ingestion_spark.operators.textops import (
     minhash_band_signatures_sets,
 )
 from osm_notes_ingestion_spark.streaming.dedup import (
+    _pruned_store,
+    _touched_buckets,
     near_dup_pairs,
     process_dedup_batch,
     streaming_near_dups,
@@ -74,6 +76,52 @@ def test_streaming_settled_equals_batch(spark, dirs):
     got = sorted((r.id_a, r.id_b) for r in near_dup_pairs(spark, store).collect())
     want = _batch_pairs(spark, docs)
     assert got == want and len(want) > 0
+
+
+def test_store_reads_are_bucket_pruned(spark, dirs):
+    """The round-4 scale fix: a micro-batch must read only the store
+    buckets its own bandsigs/ids can match, not the full accumulated
+    store. Build a multi-bucket store from the corpus, then read it the
+    way a SMALL batch would (few distinct bandsigs → few touched
+    buckets) and assert strictly fewer files than the store holds —
+    while a full-corpus touched set still sees every stored row."""
+    _, store = dirs
+    docs = _docs(spark)
+    B = 16
+    process_dedup_batch(
+        spark, docs.where("doc_id % 2 = 0"), 0, store, n_store_buckets=B
+    )
+    process_dedup_batch(
+        spark, docs.where("doc_id % 2 = 1"), 1, store, n_store_buckets=B
+    )
+    bands_dir = os.path.join(store, "bands")
+    all_files = glob.glob(f"{bands_dir}/batch_id=*/bkt=*/part-*.parquet")
+    n_buckets_on_disk = len(
+        {p.split("/bkt=")[1].split("/")[0] for p in all_files}
+    )
+    assert n_buckets_on_disk > 4  # the corpus really spans many buckets
+
+    schema = "doc_id long, band int, bandsig string"
+    min_id = docs.agg({"doc_id": "min"}).first()[0]
+    one_doc_sigs = minhash_band_signatures_sets(
+        doc_shingle_sets(docs.where(f"doc_id = {min_id}"))
+    )
+    touched = _touched_buckets(one_doc_sigs, "bandsig", B)
+    assert 0 < len(touched) <= 4  # 4 bands → at most 4 buckets
+    pruned = _pruned_store(spark, bands_dir, schema, touched)
+    read_files = {f.removeprefix("file://") for f in pruned.inputFiles()}
+    assert read_files and read_files < set(all_files)
+    assert all(any(f"/bkt={b}/" in f for b in touched) for f in read_files)
+
+    # lossless: the union over ALL buckets is exactly the stored rows
+    every = _pruned_store(spark, bands_dir, schema, list(range(B)))
+    assert every.count() == spark.read.parquet(*all_files).count()
+    # and the excluded batch is skipped at the path level
+    no_b1 = _pruned_store(
+        spark, bands_dir, schema, list(range(B)), exclude_batch_id=1
+    )
+    b1_files = [f for f in no_b1.inputFiles() if "/batch_id=1/" in f]
+    assert no_b1.inputFiles() and not b1_files
 
 
 def test_replayed_batch_is_idempotent(spark, dirs):
