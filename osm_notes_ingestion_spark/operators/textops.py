@@ -165,16 +165,65 @@ def minhash_band_signatures_sets(
     return wide.select(F.col(id_col), F.posexplode(band_arr).alias("band", "bandsig"))
 
 
-def lsh_candidate_pairs(band_sigs: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """→ (id_a, id_b), id_a < id_b: pairs sharing ≥1 band signature."""
+def lsh_candidate_pairs(
+    band_sigs: DataFrame, id_col: str = "doc_id", hot_band_cap: int | None = None
+) -> DataFrame:
+    """→ (id_a, id_b), id_a < id_b: pairs sharing ≥1 band signature.
+
+    hot_band_cap guards the one way the banded self-join can go
+    quadratic at corpus scale: a DEGENERATE band group — one bandsig
+    shared by 10^4+ documents (boilerplate pages, identical license
+    headers), which all four minhash folds of a band can only produce
+    when the shingle sets are identical or near-identical, i.e. an
+    exact-dup family in practice. With the cap set, groups larger than
+    `hot_band_cap` emit a STAR (every member paired with the group's
+    min id, O(n) edges) instead of all O(n^2) pairs; groups at or under
+    the cap pair exactly as before. The star output is a different —
+    deliberately weaker — contract than the full pair set: its Jaccard-
+    verified transitive CLOSURE equals the full pair set's closure for
+    exact-dup families (every member verifies against the
+    representative at Jaccard 1), which is what cluster resolution
+    (operators/components.dedup_cluster_labels) consumes; callers that
+    need every individual pair of a hot family listed should route hot
+    families through exact-dup semantics (q_dedup_exact) first.
+    Default None = unchanged full-pair behavior, and the gated
+    queries use the default (the hot-group aggregate adds one
+    same-key exchange ahead of the band join, which the default's
+    zero-pre-join-exchange plan does not pay)."""
     a = band_sigs.select(F.col(id_col).alias("id_a"), "band", "bandsig")
     b = band_sigs.select(F.col(id_col).alias("id_b"), "band", "bandsig")
-    return (
-        a.join(b, ["band", "bandsig"])
+    if hot_band_cap is None:
+        return (
+            a.join(b, ["band", "bandsig"])
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+        )
+    stats = band_sigs.groupBy("band", "bandsig").agg(
+        F.count(F.lit(1)).alias("_n"), F.min(id_col).alias("_rep")
+    )
+    # hot groups are few by definition (each holds > cap members of a
+    # finite corpus) → broadcast both the exclusion key set and the
+    # star representatives; the cold self-join below is the ordinary
+    # banded equi-join minus hot keys (map-side anti-join, no new
+    # shuffle on the fact side beyond the band join itself)
+    hot = stats.where(F.col("_n") > int(hot_band_cap)).select(
+        "band", "bandsig", "_rep"
+    )
+    hot_keys = F.broadcast(hot.select("band", "bandsig"))
+    cold_a = a.join(hot_keys, ["band", "bandsig"], "left_anti")
+    cold_b = b.join(hot_keys, ["band", "bandsig"], "left_anti")
+    cold_pairs = (
+        cold_a.join(cold_b, ["band", "bandsig"])
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
-        .distinct()
     )
+    star = (
+        band_sigs.join(F.broadcast(hot), ["band", "bandsig"])
+        .where(F.col(id_col) != F.col("_rep"))
+        .select(F.col("_rep").alias("id_a"), F.col(id_col).alias("id_b"))
+    )
+    return cold_pairs.unionByName(star).distinct()
 
 
 def jaccard_filter(

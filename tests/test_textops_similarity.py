@@ -352,3 +352,50 @@ def test_array_path_equals_row_path_on_adversarial_texts(spark):
     assert got == sorted(map(pkey, row_pairs.collect()))
     # the planted exact dups must survive verification
     assert {(4, 5), (6, 7), (8, 9)} <= set(got)
+
+
+def test_hot_band_cap_caps_degenerate_groups(spark):
+    """10^4 identical docs: the capped candidate set is O(n) star edges
+    (every member to the min id), not O(n^2) pairs; a mixed corpus's
+    verified CLOSURE is unchanged by the cap; and groups at/under the
+    cap are byte-identical to the uncapped output."""
+    from osm_notes_ingestion_spark.operators.textops import (
+        doc_shingle_sets,
+        jaccard_filter_sets,
+        minhash_band_signatures_sets,
+    )
+
+    n = 10_000
+    same = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.lit("the same boilerplate license header text repeated").alias("text"),
+    )
+    bands = minhash_band_signatures_sets(doc_shingle_sets(same))
+    capped = lsh_candidate_pairs(bands, hot_band_cap=100)
+    rows = capped.collect()
+    assert len(rows) == n - 1  # star to the min id, one edge per member
+    assert all(r.id_a == 0 and r.id_b > 0 for r in rows)
+    # every star edge survives exact-Jaccard verification (identical docs)
+    verified = jaccard_filter_sets(capped, doc_shingle_sets(same))
+    assert verified.count() == n - 1
+
+    # mixed corpus: distinct docs plus one hot family → cold pairs are
+    # exactly the uncapped pairs among cold docs, hot family is starred
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    docs = docs.where("doc_id < 200")
+    hot = spark.range(300, 500).select(
+        F.col("id").alias("doc_id"), F.lit("aa bb cc dd ee ff gg").alias("text")
+    )
+    mixed_bands = minhash_band_signatures_sets(doc_shingle_sets(docs.unionByName(hot)))
+    capped = lsh_candidate_pairs(mixed_bands, hot_band_cap=50)
+    uncapped = lsh_candidate_pairs(mixed_bands)
+    cap_cold = {(r.id_a, r.id_b) for r in capped.where("id_b < 300").collect()}
+    unc_cold = {(r.id_a, r.id_b) for r in uncapped.where("id_b < 300").collect()}
+    assert cap_cold == unc_cold  # at/under-cap groups unchanged
+    star = {(r.id_a, r.id_b) for r in capped.where("id_b >= 300").collect()}
+    assert star == {(300, i) for i in range(301, 500)}
+    # a generous cap (> any group) reproduces the uncapped output exactly
+    loose = lsh_candidate_pairs(mixed_bands, hot_band_cap=10_000)
+    assert sorted((r.id_a, r.id_b) for r in loose.collect()) == sorted(
+        (r.id_a, r.id_b) for r in uncapped.collect()
+    )
