@@ -16,6 +16,7 @@ from ..operators.merge import (
     fold_status,
     gap_stats,
     reconcile_diff,
+    session_stats,
     upsert,
     users_dimension,
 )
@@ -50,12 +51,22 @@ def _mapped_events(spark, sf_dir):
 # ------------------------------------------------------------- status fold
 
 
+_SESSION_GAP_S = 3600
+
+
 def q_status_fold(spark, sf_dir):
-    """Combined gate: the trigger-fold state machine (W3) AND its
-    ignored-transition counter in one row per user — folded into ONE
-    registry entry so the driver's 50-query gate cap has room for the
-    multimodal and distributed-prep gates (VERDICT r2 #2). Both operators
-    still run in full; the join keys their outputs per user."""
+    """Combined gate: the trigger-fold state machine (W3), its
+    ignored-transition counter, AND a per-user sessionization digest —
+    folded into ONE registry entry so the driver's 50-query gate cap has
+    room (VERDICT r2 #2 pattern; r3 #3 asked for the session leg). All
+    three operators run in full; the joins key their outputs per user.
+
+    The session digest pins session BOUNDS and STATS, not just a count:
+    per user it sums a 48-bit md5 hash of every session's
+    (session_start, n_events, duration_s) triple, so moving any session
+    boundary, dropping an event, or shifting a duration changes the
+    gate hash. 48 bits (12 hex chars) keeps the per-user sum far from
+    int64 overflow under Spark 4 ANSI arithmetic."""
     ev = _mapped_events(spark, sf_dir)
     folded = fold_status(ev, seq_col="seq").select(
         F.col("note_id").alias("user_id"), "status", "closed_at"
@@ -63,12 +74,41 @@ def q_status_fold(spark, sf_dir):
     ignored = count_ignored_transitions(ev, seq_col="seq").select(
         F.col("note_id").alias("user_id"), "n_ignored"
     )
+    sess = (
+        session_stats(_events(spark, sf_dir), _SESSION_GAP_S)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum(
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.encode(
+                                F.concat_ws(
+                                    ":", "session_start", "n_events", "duration_s"
+                                ),
+                                "UTF-8",
+                            )
+                        ),
+                        1,
+                        12,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+            ).alias("sessions_md5"),
+        )
+    )
     # LEFT join + 0 fill: a user with no closed/reopened/hidden events
     # has no ignored-counter row, but their fold row (pure 'open') is
     # exactly the branch this gate must keep covering — an inner join
-    # would silently drop it from verification
-    return folded.join(ignored, "user_id", "left").withColumn(
-        "n_ignored", F.coalesce(F.col("n_ignored"), F.lit(0))
+    # would silently drop it from verification (every user does have a
+    # session row — any event starts a session — but the same LEFT
+    # discipline applies)
+    return (
+        folded.join(ignored, "user_id", "left")
+        .withColumn("n_ignored", F.coalesce(F.col("n_ignored"), F.lit(0)))
+        .join(sess, "user_id", "left")
     )
 
 
@@ -126,11 +166,44 @@ SELECT user_id,
 FROM sub GROUP BY user_id"""
 
 
-# combined status_fold gate = fold + ignored counter LEFT-joined per
-# user (users with no c/r/h events keep their pure-'open' fold row)
+# session digest twin: identical gap/cumsum semantics as
+# operators/merge.sessionize (DuckDB epoch() ROUNDS sub-second ts, so
+# floor() mirrors Spark's timestamp→long truncation), hashed per session
+# with the same 12-hex-char md5 prefix Spark's conv(substring(md5..))
+# computes
+SQL_SESSION_DIGEST = f"""WITH se AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ep FROM events
+), sb AS (
+  SELECT user_id, ep,
+         CASE WHEN lag(ep) OVER w IS NULL OR ep - lag(ep) OVER w > {_SESSION_GAP_S}
+              THEN ep END AS boundary
+  FROM se WINDOW w AS (PARTITION BY user_id ORDER BY ep)
+), ss AS (
+  SELECT user_id, ep,
+         max(boundary) OVER (PARTITION BY user_id ORDER BY ep
+                             ROWS UNBOUNDED PRECEDING) AS session_start
+  FROM sb
+), st AS (
+  SELECT user_id, session_start, count(*) AS n_events,
+         max(ep) - min(ep) AS duration_s
+  FROM ss GROUP BY 1, 2
+)
+SELECT user_id, count(*) AS n_sessions,
+       CAST(sum(('0x' || substr(md5(concat_ws(':', session_start, n_events,
+                                              duration_s)), 1, 12))::BIGINT)
+            AS BIGINT) AS sessions_md5
+FROM st GROUP BY user_id"""
+
+
+# combined status_fold gate = fold + ignored counter + session digest
+# LEFT-joined per user (users with no c/r/h events keep their
+# pure-'open' fold row)
 SQL_STATUS_FOLD_FULL = f"""SELECT sf.user_id, sf.status, sf.closed_at,
-       COALESCE(it.n_ignored, 0) AS n_ignored
-FROM ({SQL_STATUS_FOLD}) sf LEFT JOIN ({SQL_IGNORED_TRANSITIONS}) it USING (user_id)"""
+       COALESCE(it.n_ignored, 0) AS n_ignored,
+       sd.n_sessions, sd.sessions_md5
+FROM ({SQL_STATUS_FOLD}) sf
+LEFT JOIN ({SQL_IGNORED_TRANSITIONS}) it USING (user_id)
+LEFT JOIN ({SQL_SESSION_DIGEST}) sd USING (user_id)"""
 
 
 # ---------------------------------------------------------- dedup / upsert
