@@ -13,8 +13,9 @@ marks activity so an operator can avoid launching concurrent Spark work.
 
 Env: BHUNT_ROUNDS (default 10), BHUNT_SLEEP_S (default 420),
      BHUNT_PROBE_STEAL_PCT (default 1.0 — skip windows with >1% steal),
-     BHUNT_TARGET_S (default 11.15 — stop early when a session beats
-     the round-1 headline sum).
+     BHUNT_TARGET_S (default 10.617 — stop early when a session beats
+     the current SAME-schema steal-qualified record; records are only
+     comparable within one bench_schema, see BENCH/BASELINE.md).
 """
 
 from __future__ import annotations
@@ -83,7 +84,7 @@ def main() -> None:
     rounds = int(os.environ.get("BHUNT_ROUNDS", "10"))
     sleep_s = int(os.environ.get("BHUNT_SLEEP_S", "420"))
     max_steal = float(os.environ.get("BHUNT_PROBE_STEAL_PCT", "1.0"))
-    target = float(os.environ.get("BHUNT_TARGET_S", "11.15"))
+    target = float(os.environ.get("BHUNT_TARGET_S", "10.617"))
 
     best = None
     for i in range(rounds):

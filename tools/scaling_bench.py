@@ -92,6 +92,11 @@ def run_once(cpus: int, pages_path: str) -> dict:
 
 SESSIONS_LOG = os.path.join(REPO, "BENCH", "scaling_sessions.jsonl")
 
+# A headline session is steal-QUALIFIED when its whole-run steal is at
+# or under this — the same quiet threshold bench.py's steal-adaptive
+# best-of applies to individual trials (bench.py _best_of quiet_pct).
+QUIET_STEAL_PCT = 1.5
+
 
 def _cpu_steal_pct() -> float:
     """Hypervisor CPU-steal percentage since boot (/proc/stat) — annotates
@@ -281,20 +286,56 @@ def _headline_sessions_md() -> str:
     rows = [json.loads(l) for l in open(log) if l.strip()]
     if not rows:
         return ""
+    # Records are kept PER bench_schema: schema changes re-scope what a
+    # query times (e.g. schema 3 moved tiles_z4/knn onto the
+    # pre-materialized extracted table), so values across schemas are
+    # not comparable and must not be ranked against each other.
+    # "Qualified" = run steal <= QUIET_STEAL_PCT, the same quiet
+    # threshold bench.py's steal-adaptive best-of uses for trials.
     lines = "\n".join(
         f"- {time.strftime('%Y-%m-%d %H:%M:%S', time.localtime(r['captured_unix']))}: "
         f"headline {r['value']}s ({r.get('pages_per_sec', 0):.0f} pages/s flagship), "
-        f"run steal {r.get('run_steal_pct', '?')}%, probe steal {r.get('probe_steal_pct', '?')}%"
+        f"run steal {r.get('run_steal_pct', '?')}%, "
+        f"probe steal {r.get('probe_steal_pct', '?')}%, "
+        f"schema {r.get('bench_schema', 1)}"
         for r in rows
     )
-    best = min(rows, key=lambda r: r["value"])
+    records = []
+    for schema in sorted({r.get("bench_schema", 1) for r in rows}):
+        in_schema = [r for r in rows if r.get("bench_schema", 1) == schema]
+        qual = [
+            r
+            for r in in_schema
+            if isinstance(r.get("run_steal_pct"), (int, float))
+            and 0 <= r["run_steal_pct"] <= QUIET_STEAL_PCT
+        ]
+        if qual:
+            b = min(qual, key=lambda r: r["value"])
+            records.append(
+                f"- schema {schema}: best qualified {b['value']}s at "
+                f"{b['run_steal_pct']}% run steal "
+                f"({len(qual)}/{len(in_schema)} sessions qualified)"
+            )
+        else:
+            b = min(in_schema, key=lambda r: r["value"])
+            records.append(
+                f"- schema {schema}: NO steal-qualified session "
+                f"(best unqualified {b['value']}s at "
+                f"{b.get('run_steal_pct', '?')}% run steal, "
+                f"{len(in_schema)} sessions)"
+            )
+    rec_md = "\n".join(records)
     return f"""
 ## Headline bench sessions (bench.py at sf0.1, 32 unpinned threads)
 
-Captured by tools/bench_hunt.py (steal-probed windows; every completed
-run is logged with its measured hypervisor-steal percentages — the
-headline number should be read as \"best steal-qualified session\", best
-{best['value']}s):
+Captured by tools/bench_hunt.py; every completed run is logged with its
+measured hypervisor-steal percentages AND its bench_schema. Sessions
+are comparable ONLY within one bench_schema (a schema bump re-scopes
+what a query times — bench.py's value_semantics field documents each),
+and a session is steal-QUALIFIED only when its whole-run steal is at or
+under the {QUIET_STEAL_PCT}% quiet threshold bench.py itself applies to
+trials. Per-schema records:
+{rec_md}
 {lines}
 """
 
