@@ -233,15 +233,18 @@ def main() -> None:
         json.dumps(
             {
                 "metric": "spatial_join_tiling_headline",
-                # bench_schema 3 = assign_country, tiles_z4 AND knn
-                # measured over a MATERIALIZED extracted table (untimed
-                # prep); schema-2 sessions timed extraction inline in
-                # tiles_z4/knn, schema-1 also in assign_country —
-                # earlier sessions are NOT comparable per-query
-                "bench_schema": 3,
+                # bench_schema 4 = schema 3 + the status_fold gate's
+                # absorbed sessionization digest (status_fold times more
+                # work than before); schema 3 = assign_country, tiles_z4
+                # AND knn measured over a MATERIALIZED extracted table
+                # (untimed prep); schema-2 sessions timed extraction
+                # inline in tiles_z4/knn, schema-1 also in
+                # assign_country — earlier sessions are NOT comparable
+                # per-query
+                "bench_schema": 4,
                 "value": total,
                 "unit": "sec",
-                "value_semantics": "sum of per-query best-of-N trial times (N in 'trials'); assign_country, tiles_z4 and knn read a materialized extracted table (untimed prep), flagship_assign covers fused extract+assign",
+                "value_semantics": "sum of per-query best-of-N trial times (N in 'trials'); assign_country, tiles_z4 and knn read a materialized extracted table (untimed prep), flagship_assign covers fused extract+assign; since schema 4 status_fold additionally computes the per-user sessionization digest its gate absorbed",
                 # hypervisor CPU steal: over this bench run's window, and
                 # cumulative since boot (scaling_bench convention) — the
                 # shared host's time-varying steal is the dominant noise

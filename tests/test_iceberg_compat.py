@@ -33,7 +33,14 @@ def _iceberg_jar_probe() -> tuple[str | None, str]:
     network (no pip/ivy fetch), so if no jar is already on disk the real
     backend cannot be run here; the suite is ready to parametrize over
     it the moment one appears (set SPARK_GRAFT_ICEBERG_JAR or drop the
-    jar into pyspark/jars)."""
+    jar into pyspark/jars).
+
+    Round-4 re-probe (2026-08-18): filesystem sweep found no jar, and a
+    direct fetch attempt confirmed the sandbox is offline — `curl
+    https://repo1.maven.org/maven2/...` fails with exit 6 (host
+    resolution), so neither --packages nor a manual download can supply
+    iceberg-spark-runtime. Status unchanged: real backend unobtainable
+    here, wired test below stands by."""
     import pyspark
 
     candidates: list[str] = []
