@@ -165,8 +165,24 @@ def process_dedup_batch(
     rows_per_band: int = 4,
     threshold: float = 0.8,
     n_store_buckets: int = 16,
+    hot_band_cap: int | None = None,
 ) -> None:
     """One micro-batch of the incremental LSH pipeline (see module doc).
+
+    hot_band_cap (optional) extends operators/textops.
+    lsh_candidate_pairs' degenerate-group star guard to the stream. When
+    set: the INTRA-batch self-join stars over-cap groups (textops
+    semantics), and the CROSS-batch join emits, for each (band, bandsig)
+    whose new-side or store-side group exceeds the cap, ONE BRIDGE edge
+    (new-group min id, store-group min id) instead of the full
+    |new|x|store| product — without it, a hot family arriving over many
+    batches costs O(batch x family-so-far) per batch, quadratic overall.
+    The settled pair table then carries the star contract for over-cap
+    groups: its verified transitive closure still connects the family
+    (new members connect intra-batch, store members connected
+    inductively by their own batches, the bridge joins the two), which
+    is what cluster resolution consumes. Default None = full-pair
+    behavior, settled ≡ the uncapped batch pipeline (tested).
 
     Layout under store_dir: bands/ and sets/ hold the accumulated
     signature and shingle-set stores, pairs/ the verified near-dup pairs
@@ -183,8 +199,9 @@ def process_dedup_batch(
         new_sets, id_col=id_col, n_hashes=n_hashes, rows_per_band=rows_per_band
     ).persist()
 
-    # intra-batch candidates: the ordinary banded self-join
-    intra = lsh_candidate_pairs(new_bands, id_col=id_col)
+    # intra-batch candidates: the ordinary banded self-join (starred
+    # for over-cap groups when hot_band_cap is set)
+    intra = lsh_candidate_pairs(new_bands, id_col=id_col, hot_band_cap=hot_band_cap)
     # cross-batch candidates: new bands vs the accumulated store — the
     # store side never re-joins itself (those pairs were emitted when
     # their own batch arrived), and only store buckets holding a bandsig
@@ -198,16 +215,52 @@ def process_dedup_batch(
     )
     nb = new_bands.select(F.col(id_col).alias("_nid"), "band", "bandsig")
     ob = old_bands.select(F.col(id_col).alias("_oid"), "band", "bandsig")
-    cross = (
-        nb.join(ob, ["band", "bandsig"])
-        .where(F.col("_nid") != F.col("_oid"))
-        .select(
-            F.least("_nid", "_oid").alias("id_a"),
-            F.greatest("_nid", "_oid").alias("id_b"),
+    if hot_band_cap is not None:
+        # group stats per matching signature: sigs hot on EITHER side
+        # get one bridge edge (new min, store min); cold sigs keep the
+        # full cross product (bounded by cap^2 per sig). Hot sigs are
+        # few → broadcast the key set for the anti-joins.
+        nstat = nb.groupBy("band", "bandsig").agg(
+            F.count(F.lit(1)).alias("_nn"), F.min("_nid").alias("_nrep")
         )
-        .distinct()
-    )
+        ostat = ob.groupBy("band", "bandsig").agg(
+            F.count(F.lit(1)).alias("_on"), F.min("_oid").alias("_orep")
+        )
+        joint = nstat.join(ostat, ["band", "bandsig"])
+        hot = joint.where(
+            (F.col("_nn") > int(hot_band_cap)) | (F.col("_on") > int(hot_band_cap))
+        ).persist()
+        bridges = hot.select(
+            F.least("_nrep", "_orep").alias("id_a"),
+            F.greatest("_nrep", "_orep").alias("id_b"),
+        )
+        hot_keys = F.broadcast(hot.select("band", "bandsig"))
+        nb_cold = nb.join(hot_keys, ["band", "bandsig"], "left_anti")
+        ob_cold = ob.join(hot_keys, ["band", "bandsig"], "left_anti")
+        cross = (
+            nb_cold.join(ob_cold, ["band", "bandsig"])
+            .where(F.col("_nid") != F.col("_oid"))
+            .select(
+                F.least("_nid", "_oid").alias("id_a"),
+                F.greatest("_nid", "_oid").alias("id_b"),
+            )
+            .unionByName(bridges)
+            .distinct()
+        )
+    else:
+        cross = (
+            nb.join(ob, ["band", "bandsig"])
+            .where(F.col("_nid") != F.col("_oid"))
+            .select(
+                F.least("_nid", "_oid").alias("id_a"),
+                F.greatest("_nid", "_oid").alias("id_b"),
+            )
+            .distinct()
+        )
     cands = intra.unionByName(cross).distinct().persist()
+    to_release = [new_sets, new_bands, cands]
+    if hot_band_cap is not None:
+        to_release.append(hot)  # referenced by bridges AND the anti-join keys
 
     # verification needs both sides' shingle sets: the new batch's are
     # in memory; of the accumulated store, only candidate-id buckets
@@ -236,7 +289,7 @@ def process_dedup_batch(
     new_sets.withColumn("bkt", _bkt(id_col, n_store_buckets)).write.mode(
         "overwrite"
     ).partitionBy("bkt").parquet(os.path.join(sets_dir, f"batch_id={int(batch_id)}"))
-    for df in (new_sets, new_bands, cands):
+    for df in to_release:
         df.unpersist(blocking=False)
 
 

@@ -140,3 +140,31 @@ def test_replayed_batch_is_idempotent(spark, dirs):
         (r.id_a, r.id_b) for r in near_dup_pairs(spark, store).collect()
     )
     assert replayed == settled == _batch_pairs(spark, docs)
+
+
+def test_hot_family_across_batches_is_bridged(spark, dirs):
+    """With hot_band_cap set, a boilerplate family arriving over two
+    batches costs O(new) candidate edges per batch (star + one bridge,
+    not |new|x|store| pairs), and the settled verified pairs still
+    connect the WHOLE family transitively."""
+    _, store = dirs
+    fam_text = "identical boilerplate header shared by the whole family"
+    b0 = spark.range(0, 400).selectExpr("id AS doc_id", f"'{fam_text}' AS text")
+    b1 = spark.range(400, 800).selectExpr("id AS doc_id", f"'{fam_text}' AS text")
+    process_dedup_batch(spark, b0, 0, store, hot_band_cap=50)
+    process_dedup_batch(spark, b1, 1, store, hot_band_cap=50)
+    pairs = [(r.id_a, r.id_b) for r in near_dup_pairs(spark, store).collect()]
+    # O(n) per batch: batch 0 stars to 0 (399 edges); batch 1 stars to
+    # 400 (399 edges) plus ONE bridge (0, 400) — not 400*400 cross pairs
+    assert len(pairs) == 399 + 399 + 1
+    assert (0, 400) in pairs
+    # transitive closure connects all 800 members
+    parent = list(range(800))
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    for a, b in pairs:
+        parent[find(a)] = find(b)
+    assert len({find(i) for i in range(800)}) == 1
