@@ -189,7 +189,12 @@ def lsh_candidate_pairs(
     Default None = unchanged full-pair behavior, and the gated
     queries use the default (the hot-group aggregate adds one
     same-key exchange ahead of the band join, which the default's
-    zero-pre-join-exchange plan does not pay)."""
+    zero-pre-join-exchange plan does not pay). The hot aggregate is
+    referenced twice (exclusion keys + star join), so band_sigs is
+    scanned twice more than the default path — callers on a cold source
+    should persist band_sigs first (the streaming path persists
+    new_bands; this function stays persist-free so it never owns cache
+    lifecycle it cannot release)."""
     a = band_sigs.select(F.col(id_col).alias("id_a"), "band", "bandsig")
     b = band_sigs.select(F.col(id_col).alias("id_b"), "band", "bandsig")
     if hot_band_cap is None:

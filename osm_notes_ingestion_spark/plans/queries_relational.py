@@ -105,10 +105,16 @@ def q_status_fold(spark, sf_dir):
     # would silently drop it from verification (every user does have a
     # session row — any event starts a session — but the same LEFT
     # discipline applies)
+    # 0-fills keep the digest columns NON-NULL: the gate tool's exact
+    # int64 comparison degrades to float64 on nullable huge ints
+    # (tools/check_oracles normalize()), and sessions_md5 sums exceed
+    # 2^53 — a NULL would silently cost the comparison its exactness
     return (
         folded.join(ignored, "user_id", "left")
         .withColumn("n_ignored", F.coalesce(F.col("n_ignored"), F.lit(0)))
         .join(sess, "user_id", "left")
+        .withColumn("n_sessions", F.coalesce(F.col("n_sessions"), F.lit(0)))
+        .withColumn("sessions_md5", F.coalesce(F.col("sessions_md5"), F.lit(0)))
     )
 
 
@@ -200,7 +206,8 @@ FROM st GROUP BY user_id"""
 # pure-'open' fold row)
 SQL_STATUS_FOLD_FULL = f"""SELECT sf.user_id, sf.status, sf.closed_at,
        COALESCE(it.n_ignored, 0) AS n_ignored,
-       sd.n_sessions, sd.sessions_md5
+       COALESCE(sd.n_sessions, 0) AS n_sessions,
+       COALESCE(sd.sessions_md5, 0) AS sessions_md5
 FROM ({SQL_STATUS_FOLD}) sf
 LEFT JOIN ({SQL_IGNORED_TRANSITIONS}) it USING (user_id)
 LEFT JOIN ({SQL_SESSION_DIGEST}) sd USING (user_id)"""

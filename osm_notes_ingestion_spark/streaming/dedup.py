@@ -89,6 +89,33 @@ def _touched_buckets(df: DataFrame, col: str, n_buckets: int) -> list[int]:
     ]
 
 
+def _check_layout(spark: SparkSession, store_dir: str, n_store_buckets: int) -> None:
+    """Enforce the 'n_store_buckets is constant for the life of a store'
+    contract LOUDLY: the first batch records the bucket count as an
+    empty marker directory (`_layout/n_store_buckets=B` — no file-content
+    I/O, works on any Hadoop filesystem); every later batch validates
+    against it. Without this, a mismatched reader computes touched
+    buckets mod a B that never matches the directories on disk, every
+    probe misses, and the store silently reads as empty."""
+    fs, root = _fs_and_path(spark, store_dir)
+    lay = root.suffix("/_layout")
+    if fs.exists(lay):
+        recorded = [
+            st.getPath().getName()
+            for st in fs.listStatus(lay)
+            if st.getPath().getName().startswith("n_store_buckets=")
+        ]
+        want = f"n_store_buckets={int(n_store_buckets)}"
+        if recorded != [want]:
+            raise ValueError(
+                f"store {store_dir} was written with {recorded}, this batch "
+                f"asked for {want}: n_store_buckets must stay constant for "
+                "the life of a store (re-bucket by rewriting the store)"
+            )
+    else:
+        fs.mkdirs(lay.suffix(f"/n_store_buckets={int(n_store_buckets)}"))
+
+
 def _pruned_store(
     spark: SparkSession,
     path: str,
@@ -102,8 +129,10 @@ def _pruned_store(
     The excluded batch (foreachBatch replay idempotency — the batch must
     see exactly the state its first run saw) is skipped at the PATH
     level, so a replay reads zero bytes of its own prior output. The
-    listing walks one FileSystem level (batch dirs), then probes the
-    touched bucket dirs directly — no full-store file listing either."""
+    listing walks one FileSystem level per batch dir (also used to
+    detect, LOUDLY, a store written without the bkt= layout — silently
+    treating it as empty would drop all cross-batch state); no
+    full-store file listing happens."""
     fs, hpath = _fs_and_path(spark, path)
     if not touched or not fs.exists(hpath):
         return spark.createDataFrame([], schema)
@@ -117,10 +146,19 @@ def _pruned_store(
             and name == f"batch_id={int(exclude_batch_id)}"
         ):
             continue
+        children = {c.getPath().getName() for c in fs.listStatus(st.getPath())}
+        bkt_dirs = {c for c in children if c.startswith("bkt=")}
+        # data files but no bkt= partitions = pre-bucketing layout (or a
+        # foreign writer): refuse rather than silently read it as empty
+        if not bkt_dirs and any(not c.startswith(("_", ".")) for c in children):
+            raise ValueError(
+                f"{st.getPath()} holds data without the bkt= bucket layout "
+                "this reader prunes by; rewrite the store with "
+                "process_dedup_batch (bucketed layout) before resuming"
+            )
         for b in touched:
-            bdir = st.getPath().suffix(f"/bkt={int(b)}")
-            if fs.exists(bdir):
-                paths.append(bdir.toString())
+            if f"bkt={int(b)}" in bkt_dirs:
+                paths.append(st.getPath().suffix(f"/bkt={int(b)}").toString())
     if not paths:
         return spark.createDataFrame([], schema)
     return (
@@ -193,6 +231,7 @@ def process_dedup_batch(
     bands_dir = os.path.join(store_dir, "bands")
     sets_dir = os.path.join(store_dir, "sets")
     pairs_dir = os.path.join(store_dir, "pairs")
+    _check_layout(spark, store_dir, n_store_buckets)
 
     new_sets = doc_shingle_sets(batch, id_col=id_col, text_col=text_col).persist()
     new_bands = minhash_band_signatures_sets(
@@ -216,6 +255,10 @@ def process_dedup_batch(
     nb = new_bands.select(F.col(id_col).alias("_nid"), "band", "bandsig")
     ob = old_bands.select(F.col(id_col).alias("_oid"), "band", "bandsig")
     if hot_band_cap is not None:
+        # ob feeds both the group-stats aggregate and the cold equi-join
+        # — persist so the pruned store files are read once per batch,
+        # not once per plan branch (released with the batch below)
+        ob = ob.persist()
         # group stats per matching signature: sigs hot on EITHER side
         # get one bridge edge (new min, store min); cold sigs keep the
         # full cross product (bounded by cap^2 per sig). Hot sigs are
@@ -230,7 +273,10 @@ def process_dedup_batch(
         hot = joint.where(
             (F.col("_nn") > int(hot_band_cap)) | (F.col("_on") > int(hot_band_cap))
         ).persist()
-        bridges = hot.select(
+        # _nrep != _orep mirrors the uncapped path's self-pair guard: a
+        # re-ingested doc id (upstream contract violation, module doc)
+        # that is min on BOTH sides must not emit a verified (x, x) loop
+        bridges = hot.where(F.col("_nrep") != F.col("_orep")).select(
             F.least("_nrep", "_orep").alias("id_a"),
             F.greatest("_nrep", "_orep").alias("id_b"),
         )
@@ -260,7 +306,9 @@ def process_dedup_batch(
     cands = intra.unionByName(cross).distinct().persist()
     to_release = [new_sets, new_bands, cands]
     if hot_band_cap is not None:
-        to_release.append(hot)  # referenced by bridges AND the anti-join keys
+        # hot is referenced by bridges AND the anti-join keys; ob by the
+        # stats and cold branches
+        to_release += [hot, ob]
 
     # verification needs both sides' shingle sets: the new batch's are
     # in memory; of the accumulated store, only candidate-id buckets

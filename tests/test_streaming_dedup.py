@@ -168,3 +168,22 @@ def test_hot_family_across_batches_is_bridged(spark, dirs):
     for a, b in pairs:
         parent[find(a)] = find(b)
     assert len({find(i) for i in range(800)}) == 1
+
+
+def test_layout_guards_fail_loudly(spark, dirs):
+    """A store must not silently read as empty: a bucket-count change
+    raises at batch entry, and a batch dir holding data without bkt=
+    partitions (pre-bucketing layout) raises at read time."""
+    _, store = dirs
+    docs = _docs(spark).limit(50)
+    process_dedup_batch(spark, docs, 0, store, n_store_buckets=8)
+    with pytest.raises(ValueError, match="n_store_buckets"):
+        process_dedup_batch(spark, docs, 1, store, n_store_buckets=16)
+
+    legacy = os.path.join(store, "legacy_bands")
+    bands = minhash_band_signatures_sets(doc_shingle_sets(docs))
+    bands.write.mode("overwrite").parquet(os.path.join(legacy, "batch_id=0"))
+    with pytest.raises(ValueError, match="bkt= bucket layout"):
+        _pruned_store(
+            spark, legacy, "doc_id long, band int, bandsig string", [0]
+        ).count()

@@ -13,9 +13,12 @@ marks activity so an operator can avoid launching concurrent Spark work.
 
 Env: BHUNT_ROUNDS (default 10), BHUNT_SLEEP_S (default 420),
      BHUNT_PROBE_STEAL_PCT (default 1.0 — skip windows with >1% steal),
-     BHUNT_TARGET_S (default 10.617 — stop early when a session beats
-     the current SAME-schema steal-qualified record; records are only
-     comparable within one bench_schema, see BENCH/BASELINE.md).
+     BHUNT_TARGET_S (default: derived per session from the log — stop
+     early when a session beats the best prior steal-qualified session
+     OF ITS OWN bench_schema; records are only comparable within one
+     bench_schema, see BENCH/BASELINE.md, so a schema with no prior
+     qualified session has no early-stop target and the hunt runs all
+     its rounds).
 """
 
 from __future__ import annotations
@@ -84,7 +87,23 @@ def main() -> None:
     rounds = int(os.environ.get("BHUNT_ROUNDS", "10"))
     sleep_s = int(os.environ.get("BHUNT_SLEEP_S", "420"))
     max_steal = float(os.environ.get("BHUNT_PROBE_STEAL_PCT", "1.0"))
-    target = float(os.environ.get("BHUNT_TARGET_S", "10.617"))
+    env_target = os.environ.get("BHUNT_TARGET_S")
+
+    def target_for(schema) -> float | None:
+        """Best prior steal-qualified value of THIS schema (or the env
+        override) — never a cross-schema number."""
+        if env_target:
+            return float(env_target)
+        if not os.path.exists(LOG):
+            return None
+        vals = [
+            r["value"]
+            for r in (json.loads(l) for l in open(LOG) if l.strip())
+            if r.get("bench_schema", 1) == schema
+            and isinstance(r.get("run_steal_pct"), (int, float))
+            and 0 <= r["run_steal_pct"] <= 1.5
+        ]
+        return min(vals) if vals else None
 
     best = None
     for i in range(rounds):
@@ -104,13 +123,17 @@ def main() -> None:
             continue
         rec["probe_steal_pct"] = round(s, 3)
         rec["captured_unix"] = int(time.time())
+        # derive the stop target from PRIOR sessions before logging this
+        # one (a fresh schema's first session must not stop the hunt by
+        # being its own record)
+        target = target_for(rec.get("bench_schema", 1))
         append_session(rec)
         v = rec["value"]
         if best is None or v < best:
             best = v
         print(f"probe {i}: headline {v}s (run steal {rec.get('run_steal_pct')}%)", flush=True)
-        if v <= target:
-            print(f"target {target}s met ({v}s) — done", flush=True)
+        if target is not None and v <= target:
+            print(f"schema-{rec.get('bench_schema', 1)} target {target}s met ({v}s) — done", flush=True)
             return
         time.sleep(sleep_s)
     print(f"hunt exhausted; best {best}", flush=True)
