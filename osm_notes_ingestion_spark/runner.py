@@ -61,6 +61,14 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("--radius-m", type=float, default=200000.0)
     p.add_argument("--session-gap-s", type=int, default=3600)
+    p.add_argument("--store-buckets", type=int, default=16)
+    p.add_argument(
+        "--hot-band-cap",
+        type=int,
+        default=None,
+        help="star LSH band groups larger than this (stream_dedup; "
+        "closure-equivalent for exact-dup families, O(n) not O(n^2))",
+    )
     p.add_argument("--resume", action="store_true")
     p.add_argument("--snapshot-root", default=None)
     p.add_argument(
@@ -237,7 +245,14 @@ def main(argv: list[str] | None = None) -> None:
             hp = jvm.org.apache.hadoop.fs.Path(p)
             hp.getFileSystem(hconf).delete(hp, True)
         docs.repartition(4).write.mode("overwrite").parquet(src)
-        q = streaming_near_dups(spark, src, docs.schema, store)
+        q = streaming_near_dups(
+            spark,
+            src,
+            docs.schema,
+            store,
+            n_store_buckets=args.store_buckets,
+            hot_band_cap=args.hot_band_cap,
+        )
         q.awaitTermination()
         pairs = near_dup_pairs(spark, store)
         pairs.write.mode("overwrite").parquet(f"{args.output}/near_dup_pairs")

@@ -58,8 +58,20 @@ spark.range(cpus * 4).repartition(cpus).mapInPandas(_warm, "id long").count()
 pages = spark.read.parquet({pages_path!r})
 n_pages = pages.count()
 index = prep_polygons(world_polygons(), level=9)
-# untimed warm pass (pack broadcast, codegen, worker module imports)
-fused_extract_assign(spark, pages.limit(5000), index).write.format("noop").mode("overwrite").save()
+# untimed warm pass (pack broadcast, codegen, worker module imports).
+# It must cover EVERY worker and BOTH stages: limit(5000) lands on one
+# partition, so at N cores it warmed one Python worker's pack-unpack
+# and left the other N-1 to pay theirs inside the timed window — a
+# per-worker fixed cost that bites 4N four times harder than N (pure
+# warmup distortion, the opposite of what this trial isolates). Same
+# for the tile stage's whole-stage-codegen compile.
+warm = fused_extract_assign(
+    spark, pages.limit(5000 * cpus).repartition(cpus), index
+).select("country_id", "lat", "lon")
+tile_counts(
+    warm.where(F.col("lat").isNotNull()), max_zoom=8, min_zoom=8,
+    extra_dims=("country_id",),
+).write.format("noop").mode("overwrite").save()
 
 t0 = time.perf_counter()
 # ONE pass: extraction+assignment feed the tile rollup directly (at
@@ -159,6 +171,12 @@ def main() -> None:
             "trials_n4_sec": results[n_hi]["all_sec"],
             "timestamp": time.strftime("%Y-%m-%d %H:%M:%S"),
             "cum_steal_pct": _cpu_steal_pct(),
+            # trial_schema 2 = complete warmup (every Python worker's
+            # pack-unpack + both stages' codegen excluded from the timed
+            # window); schema-1 sessions (no field) paid those per-worker
+            # fixed costs inside the timing, biting 4N four times harder
+            # than N — efficiencies are comparable only within a schema.
+            "trial_schema": 2,
         }
         print(json.dumps(report))
 
@@ -174,9 +192,16 @@ def main() -> None:
         print(f"no session log at {SESSIONS_LOG} — run without --report-only first", file=sys.stderr)
         return
     sessions = [json.loads(l) for l in open(SESSIONS_LOG) if l.strip()]
-    same_shape = [
+    shape = [
         s for s in sessions if s.get("n_cores") == n_lo and s.get("n4_cores") == n_hi
     ]
+    # efficiencies are comparable only within one trial_schema (see the
+    # session-record comment): headline best/median come from the
+    # CURRENT schema; older-schema sessions stay listed with their own
+    # median so the history is auditable, never mixed.
+    CUR_SCHEMA = 2
+    same_shape = [s for s in shape if s.get("trial_schema", 1) == CUR_SCHEMA]
+    prior_shape = [s for s in shape if s.get("trial_schema", 1) != CUR_SCHEMA]
     if not same_shape:
         print(
             f"no logged session matches the {n_lo}→{n_hi}-core shape "
@@ -199,7 +224,28 @@ def main() -> None:
         f"eff={s['scaling_efficiency_n_to_4n']}"
         for s in same_shape
     )
-    other = [s for s in sessions if s not in same_shape]
+    if prior_shape:
+        p_effs = sorted(s["scaling_efficiency_n_to_4n"] for s in prior_shape)
+        p_med = round(
+            p_effs[len(p_effs) // 2]
+            if len(p_effs) % 2
+            else (p_effs[len(p_effs) // 2 - 1] + p_effs[len(p_effs) // 2]) / 2,
+            3,
+        )
+        trials_note += (
+            f"\n\nPrior trial-schema-1 sessions (incomplete warmup: per-worker"
+            f"\npack-unpack + tile-stage codegen were timed, a fixed cost that"
+            f"\nbites 4N 4x harder than N, so these UNDERSTATE efficiency and"
+            f"\nare not comparable to the schema-2 numbers above; their own"
+            f"\nmedian was {p_med} over {len(p_effs)} sessions, best "
+            f"{max(p_effs)}):\n"
+            + "\n".join(
+                f"- {s['timestamp']}: N={s['n_sec']}s, 4N={s['n4_sec']}s, "
+                f"eff={s['scaling_efficiency_n_to_4n']}"
+                for s in prior_shape
+            )
+        )
+    other = [s for s in sessions if s not in same_shape and s not in prior_shape]
     if other:
         trials_note += (
             "\n\nAdditional N→4N shapes (same job/input):\n"
@@ -242,7 +288,9 @@ synthesizer)
 (best session, measured {report['timestamp']}; median across all
 {len(same_shape)} same-shape sessions = {median_eff} — the best session
 is the least-contended window, the median includes windows with heavy
-hypervisor steal)
+hypervisor steal; a ratio above 1.0 is a contention artifact — the
+N-core phase ran in a busier window than the 4N phase; physical scaling
+cannot exceed 1.0, so read the MEDIAN as the evidence number)
 
 All sessions (this sandbox is a shared physical host with large
 time-varying hypervisor CPU steal — the identical pinned 8-core trial
