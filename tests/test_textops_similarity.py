@@ -427,3 +427,53 @@ def test_hot_band_cap_caps_degenerate_groups(spark):
     assert sorted((r.id_a, r.id_b) for r in loose.collect()) == sorted(
         (r.id_a, r.id_b) for r in uncapped.collect()
     )
+
+
+def test_hot_band_cap_preserves_cluster_labels(spark):
+    """The star contract's end-to-end guarantee: on a corpus with
+    planted exact-dup families (the only groups a sane cap ever
+    triggers on), the capped candidate path yields EXACTLY the same
+    near-dup cluster labels as the uncapped path — stars lose individual
+    pairs, never connectivity."""
+    from osm_notes_ingestion_spark.operators.components import dedup_cluster_labels
+    from osm_notes_ingestion_spark.operators.textops import (
+        doc_shingle_sets,
+        jaccard_filter_sets,
+        minhash_band_signatures_sets,
+    )
+
+    docs = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .select("doc_id", "text")
+        .where("doc_id < 150")
+    )
+    fam1 = spark.range(1000, 1080).selectExpr(
+        "id AS doc_id", "'family one boilerplate fragment repeated' AS text"
+    )
+    fam2 = spark.range(2000, 2060).selectExpr(
+        "id AS doc_id", "'family two different boilerplate body here' AS text"
+    )
+    corpus = docs.unionByName(fam1).unionByName(fam2)
+    sets = doc_shingle_sets(corpus).persist()
+    bands = minhash_band_signatures_sets(sets).persist()
+
+    def labels(cap):
+        pairs = jaccard_filter_sets(
+            lsh_candidate_pairs(bands, hot_band_cap=cap), sets
+        ).persist()
+        out = sorted(
+            (r.doc_id, r.cluster_id, r.is_canonical)
+            for r in dedup_cluster_labels(pairs, corpus).collect()
+        )
+        pairs.unpersist(blocking=False)
+        return out
+
+    capped = labels(40)  # both families are over-cap (80 and 60 members)
+    uncapped = labels(None)
+    assert capped == uncapped
+    # sanity: the families really clustered (not all singletons)
+    fam1_clusters = {c for d, c, _ in capped if 1000 <= d < 1080}
+    fam2_clusters = {c for d, c, _ in capped if 2000 <= d < 2060}
+    assert fam1_clusters == {1000} and fam2_clusters == {2000}
+    for df in (sets, bands):
+        df.unpersist(blocking=False)
