@@ -280,25 +280,29 @@ def cosine_topk_bucketed(
         bits=bits,
     ).withColumnRenamed("srp_bucket", "qbucket")
 
-    # probe set per query: all buckets within hamming_radius (driver-side
-    # table of (qbucket, srp_bucket) pairs — ≤ 2^bits × Σ C(bits,i) rows)
+    # Per-QUERY hamming-ball expansion: the driver holds only the
+    # Σ C(bits, r≤hamming_radius) XOR masks (137 rows at bits=16, r=2 —
+    # size is polynomial in bits, NOT 2^bits), and each query's probe
+    # buckets are computed JVM-side as qbucket ^ mask. Enumerating the
+    # full (qbucket → probe) table per bucket-universe — the previous
+    # form — was 2^bits × Σ C(bits,r) driver rows, impossible at the
+    # corpus-scaled bits≳20 this scale path targets.
     spark = corpus.sparkSession
+    import functools
     import itertools
 
-    rows = []
-    for qb in range(1 << bits):
-        cands = set()
-        for r in range(hamming_radius + 1):
-            for flips in itertools.combinations(range(bits), r):
-                b = qb
-                for f in flips:
-                    b ^= 1 << f
-                cands.add(b)
-        rows.extend((qb, cb) for cb in sorted(cands))
-    probe = spark.createDataFrame(rows, "qbucket long, srp_bucket long")
+    masks = sorted(
+        {
+            functools.reduce(lambda a, f: a ^ (1 << f), flips, 0)
+            for r in range(hamming_radius + 1)
+            for flips in itertools.combinations(range(bits), r)
+        }
+    )
+    mask_df = spark.createDataFrame([(m,) for m in masks], "mask long")
 
     cand = (
-        q.join(F.broadcast(probe), "qbucket")
+        q.crossJoin(F.broadcast(mask_df))
+        .withColumn("srp_bucket", F.col("qbucket").bitwiseXOR(F.col("mask")))
         .join(c, "srp_bucket")
         .select("query_id", "vec_id", F.round(cosine(F.col("v"), F.col("qv")), 6).alias("cos6"))
     )

@@ -168,6 +168,73 @@ def test_bucketed_ann_recall(spark):
     assert sum(recalls) / len(recalls) >= 0.5, recalls
 
 
+def test_bucketed_ann_mask_expansion_matches_ball(spark):
+    """The per-query XOR-mask expansion (VERDICT r4 #1 fix) must probe
+    EXACTLY the hamming ball: result ≡ a pandas reference that scores
+    every corpus vector whose bucket is within hamming_radius of the
+    query's bucket. Pinned at bits=8/radius=1 (old behavior preserved)."""
+    from osm_notes_ingestion_spark.operators.similarity import cosine_topk_bucketed
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    bits, radius, k = 8, 1, 5
+    got = (
+        cosine_topk_bucketed(emb, queries, k=k, bits=bits, hamming_radius=radius)
+        .orderBy("query_id", "rank")
+        .toPandas()
+    )
+
+    # pandas reference: explicit ball membership via popcount
+    c = srp_bucket(
+        emb.select(F.col("vec_id"), F.col("embedding").cast("array<double>").alias("v")),
+        vec_col="v",
+        bits=bits,
+    ).toPandas()
+    qp = srp_bucket(
+        queries.select("query_id", F.col("qvec").cast("array<double>").alias("qv")),
+        vec_col="qv",
+        bits=bits,
+    ).toPandas()
+    expected = []
+    for _, qrow in qp.iterrows():
+        cands = []
+        for _, crow in c.iterrows():
+            if bin(int(crow.srp_bucket) ^ int(qrow.srp_bucket)).count("1") <= radius:
+                cv, qv = np.array(crow.v), np.array(qrow.qv)
+                cos6 = round(
+                    float(np.dot(cv, qv) / np.sqrt(np.dot(cv, cv) * np.dot(qv, qv))), 6
+                )
+                cands.append((cos6, crow.vec_id))
+        cands.sort(key=lambda t: (-t[0], t[1]))
+        for rank, (cos6, vid) in enumerate(cands[:k], 1):
+            expected.append((qrow.query_id, rank, vid, cos6))
+    exp = sorted(expected)
+    act = sorted(zip(got.query_id, got["rank"], got.vec_id, got.cos6))
+    assert [(a, b, c_) for a, b, c_, _ in act] == [(a, b, c_) for a, b, c_, _ in exp]
+    assert all(abs(x[3] - y[3]) < 1e-6 for x, y in zip(act, exp))
+
+
+def test_bucketed_ann_bits16_no_driver_blowup(spark):
+    """bits=16 / radius=2 — 2^16 buckets would have been a 65k×137-row
+    driver table in the old form; the mask expansion keeps the driver
+    list at Σ C(16,≤2) = 137 rows and the run fast. Self must be rank 1
+    (identical vector → same bucket, mask 0)."""
+    from osm_notes_ingestion_spark.operators.similarity import cosine_topk_bucketed
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    approx = cosine_topk_bucketed(
+        emb, queries, k=5, bits=16, hamming_radius=2
+    ).toPandas()
+    r1 = approx[approx["rank"] == 1]
+    assert len(r1) == 10
+    assert (r1["vec_id"].values == r1["query_id"].values).all()
+
+
 def test_ivf_topk_recall_vs_exact(spark):
     """IVF with nprobe=nlist degenerates to exact search (every list is
     probed); at nprobe=4/16 recall@5 on this corpus stays high."""
