@@ -222,7 +222,7 @@ def main(argv: list[str] | None = None) -> None:
     elif args.job == "stream_dedup":
         # incremental near-dup maintenance: stream the documents corpus
         # file-by-file through the foreachBatch LSH index (streaming/dedup)
-        from .streaming.dedup import near_dup_pairs, streaming_near_dups
+        from .streaming.dedup import compact_store, near_dup_pairs, streaming_near_dups
 
         docs = spark.read.parquet(f"{args.sf_dir}/documents.parquet").select(
             "doc_id", "text"
@@ -254,9 +254,15 @@ def main(argv: list[str] | None = None) -> None:
             hot_band_cap=args.hot_band_cap,
         )
         q.awaitTermination()
+        # maintenance fold while the stream is stopped: settled batches →
+        # one generation per store, so bucket listings stay O(1) in
+        # stream age (streaming/dedup.compact_store contract)
+        gen = compact_store(spark, store, keep_batches=1)
         pairs = near_dup_pairs(spark, store)
         pairs.write.mode("overwrite").parquet(f"{args.output}/near_dup_pairs")
-        mlog.log_counters(run_id, "stream_dedup", {"n_pairs": pairs.count()})
+        mlog.log_counters(
+            run_id, "stream_dedup", {"n_pairs": pairs.count(), "compact_gen": gen}
+        )
     elif args.job == "vectorize":
         # raster→vector: tile rollup → dissolved regions with degree bbox
         from .operators.tiles import dissolve_tiles, region_bbox_cols

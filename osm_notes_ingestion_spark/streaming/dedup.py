@@ -11,10 +11,9 @@ intra-batch candidates, verifies with exact Jaccard over the per-doc
 shingle-set store, and appends the new signatures to the store. Per
 batch the SHUFFLED/computed volume is O(new docs + candidates) — and so
 is the store-side READ volume, because both stores are laid out
-hash-BUCKETED (the same layout sources/bucketed.py gives batch tables,
-expressed here as a `bkt=` partition directory inside each batch
-partition): `bands/batch_id=N/bkt=pmod(xxhash64(bandsig), B)` and
-`sets/batch_id=N/bkt=pmod(xxhash64(id), B)`. A micro-batch derives the
+hash-BUCKETED, bucket-MAJOR (the same hashing sources/bucketed.py gives
+batch tables): `bands/bkt=pmod(xxhash64(bandsig), B)/batch_id=N` and
+`sets/bkt=pmod(xxhash64(id), B)/batch_id=N`. A micro-batch derives the
 touched-bucket set from its OWN rows (≤B small integers collected to
 the driver) and reads only matching `bkt=` directories. Pruning is
 lossless: a cross-batch candidate requires bandsig equality, and equal
@@ -24,6 +23,19 @@ store scan is O(store-size × touched-buckets / B) instead of O(store),
 which is what keeps a year of 15-minute batches readable at 10^12 docs
 (size B so one batch's distinct bandsigs touch a small fraction of it;
 the default here is test-scale, deployment wants 2^10-2^14).
+
+Bucket-major matters for METADATA cost, not just data cost (the round-4
+layout was batch-major, `batch_id=N/bkt=B`, and its per-batch listing
+walked every batch directory — O(stream age) FileSystem RPCs per
+micro-batch, quadratic over the stream's life): here a micro-batch
+issues exactly 2×|touched| RPCs (exists + listStatus per touched
+bucket), constant in the number of settled batches — pinned by
+tests/test_streaming_dedup.py::test_listing_rpcs_constant_in_batches.
+The per-bucket CHILD count still grows one `batch_id=` dir per batch;
+`compact_store` folds settled batches into a single consolidated
+generation (`batch_id=-g`) so steady-state stores hold ~2 children per
+bucket. Reference analog: the periodic Planet re-sync folding API
+deltas back into the base (bin/process/processPlanetNotes.sh --sync).
 
 Reference analog: the incremental API ingest path (the reference
 processes new notes against the existing base, bin/process/
@@ -38,8 +50,9 @@ batches (new×store join, discovered when its later member arrives), and
 verification uses the identical arrays, so the union over batches is the
 full-corpus candidate set with no duplicates beyond the distinct.
 
-Exactly-once: every writer is keyed by micro-batch id
-(`batch_id=N` subdirectories, overwritten on replay), the idempotent
+Exactly-once: every writer is keyed by micro-batch id (`batch_id=N`
+partitions — pairs as whole overwritten directories, bands/sets as
+dynamically-overwritten (bkt, batch_id) leaves), the idempotent
 foreachBatch pattern — a replayed batch rewrites the same rows instead
 of appending duplicates. Readers glob the store root.
 
@@ -90,21 +103,28 @@ def _touched_buckets(df: DataFrame, col: str, n_buckets: int) -> list[int]:
 
 
 def _check_layout(spark: SparkSession, store_dir: str, n_store_buckets: int) -> None:
-    """Enforce the 'n_store_buckets is constant for the life of a store'
-    contract LOUDLY: the first batch records the bucket count as an
-    empty marker directory (`_layout/n_store_buckets=B` — no file-content
-    I/O, works on any Hadoop filesystem); every later batch validates
-    against it. Without this, a mismatched reader computes touched
-    buckets mod a B that never matches the directories on disk, every
-    probe misses, and the store silently reads as empty."""
+    """Enforce the store's layout contract LOUDLY: the first batch
+    records the bucket count and the layout version as empty marker
+    directories (`_layout/n_store_buckets=B`, `_layout/layout=bkt_major`
+    — no file-content I/O, works on any Hadoop filesystem); every later
+    batch validates against them. Without the B check, a mismatched
+    reader computes touched buckets mod a B that never matches the
+    directories on disk, every probe misses, and the store silently
+    reads as empty; without the layout check, a store written by the
+    earlier batch-major version would be read the same silent-empty way.
+    A crashed compaction (leftover `_compact/` marker) also fails here
+    rather than reading a store that may hold folded rows twice."""
     fs, root = _fs_and_path(spark, store_dir)
+    if fs.exists(root.suffix("/_compact")):
+        raise ValueError(
+            f"store {store_dir} has an unfinished compaction (_compact "
+            "marker present): run compact_store() to finish or roll it "
+            "back before processing batches"
+        )
     lay = root.suffix("/_layout")
     if fs.exists(lay):
-        recorded = [
-            st.getPath().getName()
-            for st in fs.listStatus(lay)
-            if st.getPath().getName().startswith("n_store_buckets=")
-        ]
+        names = {st.getPath().getName() for st in fs.listStatus(lay)}
+        recorded = sorted(n for n in names if n.startswith("n_store_buckets="))
         want = f"n_store_buckets={int(n_store_buckets)}"
         if recorded != [want]:
             raise ValueError(
@@ -112,8 +132,20 @@ def _check_layout(spark: SparkSession, store_dir: str, n_store_buckets: int) -> 
                 f"asked for {want}: n_store_buckets must stay constant for "
                 "the life of a store (re-bucket by rewriting the store)"
             )
+        if "layout=bkt_major" not in names:
+            raise ValueError(
+                f"store {store_dir} uses the batch-major layout of an "
+                "earlier version (batch_id=N/bkt=B); rewrite it under the "
+                "bucket-major layout (bkt=B/batch_id=N) before resuming"
+            )
     else:
         fs.mkdirs(lay.suffix(f"/n_store_buckets={int(n_store_buckets)}"))
+        fs.mkdirs(lay.suffix("/layout=bkt_major"))
+
+
+def _list_children(fs, hpath):
+    """One FileSystem listStatus — factored out so tests can count RPCs."""
+    return list(fs.listStatus(hpath))
 
 
 def _pruned_store(
@@ -124,42 +156,58 @@ def _pruned_store(
     exclude_batch_id: int | None = None,
 ) -> DataFrame:
     """Read ONLY the `bkt=` directories in `touched` from a
-    batch_id/bkt-partitioned store; empty DF if nothing matches.
+    bucket-major (bkt=B/batch_id=N) store; empty DF if nothing matches.
 
     The excluded batch (foreachBatch replay idempotency — the batch must
     see exactly the state its first run saw) is skipped at the PATH
-    level, so a replay reads zero bytes of its own prior output. The
-    listing walks one FileSystem level per batch dir (also used to
-    detect, LOUDLY, a store written without the bkt= layout — silently
-    treating it as empty would drop all cross-batch state); no
-    full-store file listing happens."""
+    level, so a replay reads zero bytes of its own prior output.
+    Metadata cost: exists + ONE listStatus per TOUCHED bucket —
+    2×|touched| FileSystem RPCs per micro-batch, independent of how many
+    batches the store has settled (the round-4 batch-major layout walked
+    every batch dir instead, O(stream age) per batch). A store holding
+    data in any other layout fails LOUDLY rather than silently reading
+    as empty and dropping all cross-batch state."""
     fs, hpath = _fs_and_path(spark, path)
     if not touched or not fs.exists(hpath):
         return spark.createDataFrame([], schema)
     paths = []
-    for st in fs.listStatus(hpath):
-        name = st.getPath().getName()
-        if not name.startswith("batch_id="):
+    for b in touched:
+        bdir = hpath.suffix(f"/bkt={int(b)}")
+        if not fs.exists(bdir):
             continue
-        if (
-            exclude_batch_id is not None
-            and name == f"batch_id={int(exclude_batch_id)}"
-        ):
-            continue
-        children = {c.getPath().getName() for c in fs.listStatus(st.getPath())}
-        bkt_dirs = {c for c in children if c.startswith("bkt=")}
-        # data files but no bkt= partitions = pre-bucketing layout (or a
-        # foreign writer): refuse rather than silently read it as empty
-        if not bkt_dirs and any(not c.startswith(("_", ".")) for c in children):
-            raise ValueError(
-                f"{st.getPath()} holds data without the bkt= bucket layout "
-                "this reader prunes by; rewrite the store with "
-                "process_dedup_batch (bucketed layout) before resuming"
-            )
-        for b in touched:
-            if f"bkt={int(b)}" in bkt_dirs:
-                paths.append(st.getPath().suffix(f"/bkt={int(b)}").toString())
+        for st in _list_children(fs, bdir):
+            name = st.getPath().getName()
+            if not name.startswith("batch_id="):
+                if name.startswith(("_", ".")):
+                    continue
+                # data directly under bkt= (no batch_id= partition) =
+                # a foreign/legacy writer: refuse, don't misread
+                raise ValueError(
+                    f"{bdir} holds '{name}' without the batch_id= layout "
+                    "this reader replay-excludes by; rewrite the store "
+                    "with process_dedup_batch before resuming"
+                )
+            if (
+                exclude_batch_id is not None
+                and name == f"batch_id={int(exclude_batch_id)}"
+            ):
+                continue
+            paths.append(st.getPath().toString())
     if not paths:
+        # nothing matched: distinguish "store genuinely holds no touched
+        # bucket" from "store exists in a layout we can't see" (e.g. the
+        # earlier batch-major batch_id=N/bkt=B form) — one extra listing
+        # only on this cold path
+        root_names = {c.getPath().getName() for c in _list_children(fs, hpath)}
+        foreign = {
+            n for n in root_names if not n.startswith(("bkt=", "_", "."))
+        }
+        if foreign:
+            raise ValueError(
+                f"{path} holds {sorted(foreign)[:3]} without the bkt= "
+                "bucket-major layout this reader prunes by; rewrite the "
+                "store with process_dedup_batch before resuming"
+            )
         return spark.createDataFrame([], schema)
     return (
         spark.read.option("basePath", path)
@@ -224,10 +272,11 @@ def process_dedup_batch(
 
     Layout under store_dir: bands/ and sets/ hold the accumulated
     signature and shingle-set stores, pairs/ the verified near-dup pairs
-    — all partitioned by batch_id for idempotent replay, and the two
-    joined stores additionally by `bkt` (bandsig-hash / id-hash) so each
-    batch reads only the buckets its own rows can match (module doc).
-    n_store_buckets must stay constant for the life of a store."""
+    — all partitioned by batch_id for idempotent replay; the two joined
+    stores are BUCKET-MAJOR (`bkt=hash(key)%B / batch_id=N`) so each
+    batch reads only the buckets its own rows can match with a constant
+    number of listing RPCs (module doc). n_store_buckets must stay
+    constant for the life of a store."""
     bands_dir = os.path.join(store_dir, "bands")
     sets_dir = os.path.join(store_dir, "sets")
     pairs_dir = os.path.join(store_dir, "pairs")
@@ -326,17 +375,28 @@ def process_dedup_batch(
     verified = jaccard_filter_sets(cands, all_sets, id_col=id_col, threshold=threshold)
 
     # batch-id-keyed writes: a foreachBatch replay overwrites, not
-    # appends (mode=overwrite replaces the whole batch_id=N directory,
-    # bkt subdirs included)
+    # appends. Pairs stay batch-major (never prune-read; mode=overwrite
+    # replaces the whole batch_id=N directory); the two prune-read
+    # stores write bucket-major leaves (bkt=B/batch_id=N) via DYNAMIC
+    # partition overwrite — only the (bkt, batch_id) leaves present in
+    # this batch's rows are replaced, so a replay rewrites exactly its
+    # own leaves (same input ⇒ same buckets) and settled batches are
+    # untouched.
     verified.write.mode("overwrite").parquet(
         os.path.join(pairs_dir, f"batch_id={int(batch_id)}")
     )
-    new_bands.withColumn("bkt", _bkt("bandsig", n_store_buckets)).write.mode(
-        "overwrite"
-    ).partitionBy("bkt").parquet(os.path.join(bands_dir, f"batch_id={int(batch_id)}"))
-    new_sets.withColumn("bkt", _bkt(id_col, n_store_buckets)).write.mode(
-        "overwrite"
-    ).partitionBy("bkt").parquet(os.path.join(sets_dir, f"batch_id={int(batch_id)}"))
+    for df, key, root in (
+        (new_bands, "bandsig", bands_dir),
+        (new_sets, id_col, sets_dir),
+    ):
+        (
+            df.withColumn("bkt", _bkt(key, n_store_buckets))
+            .withColumn("batch_id", F.lit(int(batch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("bkt", "batch_id")
+            .parquet(root)
+        )
     for df in to_release:
         df.unpersist(blocking=False)
 
@@ -372,3 +432,126 @@ def streaming_near_dups(
 def near_dup_pairs(spark: SparkSession, store_dir: str) -> DataFrame:
     """The accumulated verified pair table (settled after the stream)."""
     return _store(spark, os.path.join(store_dir, "pairs"), _EMPTY_PAIRS)
+
+
+def _delete_batch_dirs(fs, root, ids: set[int]) -> None:
+    """Delete `bkt=*/batch_id=i` leaves for every i in ids across both
+    prune-read stores (maintenance path; module-level so the crash-
+    recovery test can interpose)."""
+    for sub in ("bands", "sets"):
+        sroot = root.suffix(f"/{sub}")
+        if not fs.exists(sroot):
+            continue
+        for bk in fs.listStatus(sroot):
+            if not bk.getPath().getName().startswith("bkt="):
+                continue
+            for i in ids:
+                fs.delete(bk.getPath().suffix(f"/batch_id={int(i)}"), True)
+
+
+def _store_batch_ids(fs, root) -> set[int]:
+    """All batch_id values present in a bucket-major store (full walk —
+    maintenance-time only, never on the per-batch path)."""
+    ids: set[int] = set()
+    if not fs.exists(root):
+        return ids
+    for bk in fs.listStatus(root):
+        if not bk.getPath().getName().startswith("bkt="):
+            continue
+        for st in fs.listStatus(bk.getPath()):
+            name = st.getPath().getName()
+            if name.startswith("batch_id="):
+                ids.add(int(name.split("=", 1)[1]))
+    return ids
+
+
+def compact_store(
+    spark: SparkSession, store_dir: str, keep_batches: int = 1
+) -> int:
+    """Fold settled batches of the bands/ and sets/ stores into one
+    consolidated GENERATION per store (batch_id = -g, g increasing), so
+    a bucket's child count stays ~(1 + keep_batches) instead of growing
+    one `batch_id=` dir per micro-batch forever (a year of 15-minute
+    batches is ~35k children per listing otherwise). Returns the new
+    generation number, or 0 if there was nothing to fold.
+
+    Contract: run ONLY while the stream is stopped, with keep_batches
+    ≥ 1 — foreachBatch can replay the most recent batch after a restart,
+    and replay idempotency needs that batch's rows path-excludable, so
+    the newest keep_batches stream batches are never folded (prior
+    generations, batch_id < 0, always are). Pairs stay batch-major and
+    are not compacted (they are only ever read whole).
+
+    Crash safety (two-phase, empty marker dirs only): `_compact/gen=-g`
+    + `_compact/keep=K` are created before any generation data is
+    written; `_compact/committed` after BOTH stores' generation writes
+    succeed; everything is removed only after every folded directory is
+    deleted. `_check_layout` refuses to process batches while any marker
+    exists (the store may transiently hold folded rows twice), so the
+    fold set is recomputable at recovery. Re-running compact_store
+    recovers: no `committed` → roll BACK (delete the partial generation
+    — source dirs are untouched until commit) and refold; `committed` →
+    roll FORWARD (finish the deletes — the generation already holds
+    every folded row). Reference analog: the Planet re-sync folding API
+    deltas into the base (bin/process/processPlanetNotes.sh --sync).
+    """
+    if keep_batches < 1:
+        raise ValueError("keep_batches must be ≥ 1 (replay exclusion contract)")
+    fs, root = _fs_and_path(spark, store_dir)
+    marker_dir = root.suffix("/_compact")
+
+    def _fold_set(exclude_gen: int | None, keep: int) -> set[int]:
+        all_ids = _store_batch_ids(fs, root.suffix("/bands")) | _store_batch_ids(
+            fs, root.suffix("/sets")
+        )
+        stream_ids = sorted(i for i in all_ids if i >= 0)
+        gens = {i for i in all_ids if i < 0} - {exclude_gen}
+        return gens | set(stream_ids[: max(0, len(stream_ids) - keep)])
+
+    # recover a crashed compaction first
+    if fs.exists(marker_dir):
+        names = {st.getPath().getName() for st in fs.listStatus(marker_dir)}
+        stale_gen = next(
+            int(n.split("=", 1)[1]) for n in names if n.startswith("gen=")
+        )
+        stale_keep = next(
+            int(n.split("=", 1)[1]) for n in names if n.startswith("keep=")
+        )
+        if "committed" in names:
+            # roll forward: the generation is complete, finish the deletes
+            _delete_batch_dirs(fs, root, _fold_set(stale_gen, stale_keep))
+        else:
+            # roll back: source dirs are intact, drop the partial gen
+            _delete_batch_dirs(fs, root, {stale_gen})
+        fs.delete(marker_dir, True)
+
+    fold = _fold_set(None, keep_batches)
+    gen_only = {i for i in fold if i < 0}
+    if not fold or (fold == gen_only and len(gen_only) <= 1):
+        return 0  # nothing worth folding (at most one existing generation)
+    new_gen = min(gen_only, default=0) - 1
+
+    fs.mkdirs(marker_dir.suffix(f"/gen={new_gen}"))
+    fs.mkdirs(marker_dir.suffix(f"/keep={int(keep_batches)}"))
+    fold_pred = F.col("batch_id").isin([int(i) for i in fold])
+    for sub in ("bands", "sets"):
+        sroot = root.suffix(f"/{sub}")
+        if not fs.exists(sroot):
+            continue
+        df = (
+            spark.read.option("basePath", sroot.toString())
+            .parquet(sroot.toString())
+            .where(fold_pred)
+            .withColumn("batch_id", F.lit(int(new_gen)))
+        )
+        # bkt is already a partition column of the read — rewrite keeps it
+        (
+            df.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("bkt", "batch_id")
+            .parquet(sroot.toString())
+        )
+    fs.mkdirs(marker_dir.suffix("/committed"))
+    _delete_batch_dirs(fs, root, fold)
+    fs.delete(marker_dir, True)
+    return -new_gen

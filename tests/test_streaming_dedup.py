@@ -16,6 +16,7 @@ from osm_notes_ingestion_spark.operators.textops import (
 from osm_notes_ingestion_spark.streaming.dedup import (
     _pruned_store,
     _touched_buckets,
+    compact_store,
     near_dup_pairs,
     process_dedup_batch,
     streaming_near_dups,
@@ -95,7 +96,7 @@ def test_store_reads_are_bucket_pruned(spark, dirs):
         spark, docs.where("doc_id % 2 = 1"), 1, store, n_store_buckets=B
     )
     bands_dir = os.path.join(store, "bands")
-    all_files = glob.glob(f"{bands_dir}/batch_id=*/bkt=*/part-*.parquet")
+    all_files = glob.glob(f"{bands_dir}/bkt=*/batch_id=*/part-*.parquet")
     n_buckets_on_disk = len(
         {p.split("/bkt=")[1].split("/")[0] for p in all_files}
     )
@@ -172,18 +173,144 @@ def test_hot_family_across_batches_is_bridged(spark, dirs):
 
 def test_layout_guards_fail_loudly(spark, dirs):
     """A store must not silently read as empty: a bucket-count change
-    raises at batch entry, and a batch dir holding data without bkt=
-    partitions (pre-bucketing layout) raises at read time."""
+    raises at batch entry, a store holding data in the old batch-major
+    layout raises at read time, and data directly under a bkt= dir
+    (no batch_id= partition) raises too."""
     _, store = dirs
     docs = _docs(spark).limit(50)
     process_dedup_batch(spark, docs, 0, store, n_store_buckets=8)
     with pytest.raises(ValueError, match="n_store_buckets"):
         process_dedup_batch(spark, docs, 1, store, n_store_buckets=16)
 
-    legacy = os.path.join(store, "legacy_bands")
+    schema = "doc_id long, band int, bandsig string"
     bands = minhash_band_signatures_sets(doc_shingle_sets(docs))
+    # r4 batch-major store (batch_id=N/bkt=B): new reader must refuse
+    legacy = os.path.join(store, "legacy_bands")
     bands.write.mode("overwrite").parquet(os.path.join(legacy, "batch_id=0"))
-    with pytest.raises(ValueError, match="bkt= bucket layout"):
-        _pruned_store(
-            spark, legacy, "doc_id long, band int, bandsig string", [0]
-        ).count()
+    with pytest.raises(ValueError, match="bucket-major layout"):
+        _pruned_store(spark, legacy, schema, [0]).count()
+    # data directly under bkt= without batch_id= partitioning
+    foreign = os.path.join(store, "foreign_bands")
+    bands.write.mode("overwrite").parquet(os.path.join(foreign, "bkt=0"))
+    with pytest.raises(ValueError, match="batch_id= layout"):
+        _pruned_store(spark, foreign, schema, [0]).count()
+
+
+def test_listing_rpcs_constant_in_batches(spark, dirs, monkeypatch):
+    """The round-5 metadata fix: probing a store must cost one listing
+    per TOUCHED BUCKET, not one per settled batch. Pin the listStatus
+    call count for the same touched set after 2 and after 5 batches —
+    equal, while the store's batch count grew."""
+    import osm_notes_ingestion_spark.streaming.dedup as sd
+
+    _, store = dirs
+    docs = _docs(spark)
+    B = 16
+    schema = "doc_id long, band int, bandsig string"
+    bands_dir = os.path.join(store, "bands")
+    touched = list(range(B))
+
+    def probe_listings():
+        calls = {"n": 0}
+        real = sd._list_children
+
+        def counting(fs, hpath):
+            calls["n"] += 1
+            return real(fs, hpath)
+
+        monkeypatch.setattr(sd, "_list_children", counting)
+        n_rows = _pruned_store(spark, bands_dir, schema, touched).count()
+        monkeypatch.setattr(sd, "_list_children", real)
+        return calls["n"], n_rows
+
+    for i in range(2):
+        process_dedup_batch(spark, docs.where(f"doc_id % 5 = {i}"), i, store,
+                            n_store_buckets=B)
+    calls_2, rows_2 = probe_listings()
+    for i in range(2, 5):
+        process_dedup_batch(spark, docs.where(f"doc_id % 5 = {i}"), i, store,
+                            n_store_buckets=B)
+    calls_5, rows_5 = probe_listings()
+    assert rows_5 > rows_2 > 0  # the store really grew
+    assert calls_2 == calls_5 <= B  # listings did NOT grow with batches
+
+
+def test_compaction_folds_settled_batches(spark, dirs):
+    """compact_store folds settled batches into one generation: child
+    dirs per bucket shrink to ≤ (1 gen + keep_batches), and the stream
+    continues over the compacted store to the exact batch-pipeline
+    settled result."""
+    _, store = dirs
+    docs = _docs(spark)
+    for i in range(3):
+        process_dedup_batch(spark, docs.where(f"doc_id % 4 = {i}"), i, store)
+    gen = compact_store(spark, store, keep_batches=1)
+    assert gen == 1
+    per_bucket = {}
+    for b in glob.glob(os.path.join(store, "bands", "bkt=*")):
+        kids = [k for k in os.listdir(b) if k.startswith("batch_id=")]
+        per_bucket[b] = sorted(kids)
+        assert len(kids) <= 2  # gen + the kept newest batch
+        assert all(k in ("batch_id=-1", "batch_id=2") for k in kids)
+    assert per_bucket
+    # stream continues over the compacted store
+    process_dedup_batch(spark, docs.where("doc_id % 4 = 3"), 3, store)
+    got = sorted((r.id_a, r.id_b) for r in near_dup_pairs(spark, store).collect())
+    assert got == _batch_pairs(spark, docs)
+    # second compaction folds the old generation + now-settled batches
+    assert compact_store(spark, store, keep_batches=1) == 2
+    got2 = sorted((r.id_a, r.id_b) for r in near_dup_pairs(spark, store).collect())
+    assert got2 == got
+
+
+def test_compaction_crash_recovery(spark, dirs, monkeypatch):
+    """A leftover _compact marker blocks batch processing loudly, and
+    compact_store recovers from both crash phases: pre-commit (roll back
+    the partial generation, refold) and post-commit (roll forward the
+    deletes, never refold) — either way the settled state is intact."""
+    import osm_notes_ingestion_spark.streaming.dedup as sd
+
+    _, store = dirs
+    docs = _docs(spark)
+    for i in range(3):
+        process_dedup_batch(spark, docs.where(f"doc_id % 4 = {i}"), i, store)
+    want = sorted((r.id_a, r.id_b) for r in near_dup_pairs(spark, store).collect())
+
+    # phase A — crash BEFORE commit: marker + a bogus partial generation,
+    # no `committed`. Recovery rolls the partial gen back, then folds.
+    os.makedirs(os.path.join(store, "_compact", "gen=-1"))
+    os.makedirs(os.path.join(store, "_compact", "keep=1"))
+    some_bkt = glob.glob(os.path.join(store, "bands", "bkt=*"))[0]
+    os.makedirs(os.path.join(some_bkt, "batch_id=-1"))
+    with pytest.raises(ValueError, match="unfinished compaction"):
+        process_dedup_batch(spark, docs.limit(1), 3, store)
+    assert compact_store(spark, store, keep_batches=1) == 1  # {0,1} → gen -1
+    assert not os.path.exists(os.path.join(store, "_compact"))
+
+    # phase B — crash AFTER commit: interpose on the delete phase so the
+    # generation (-2, folding gen -1 + batch 2... nothing else is settled
+    # yet, keep=1 keeps batch 2) is fully written and `committed` exists,
+    # but the folded dirs survive.
+    process_dedup_batch(spark, docs.where("doc_id % 4 = 3"), 3, store)
+    real_delete = sd._delete_batch_dirs
+
+    def crash_delete(fs, root, ids):
+        raise RuntimeError("simulated crash after commit")
+
+    monkeypatch.setattr(sd, "_delete_batch_dirs", crash_delete)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        compact_store(spark, store, keep_batches=1)
+    assert os.path.isdir(os.path.join(store, "_compact", "committed"))
+    with pytest.raises(ValueError, match="unfinished compaction"):
+        process_dedup_batch(spark, docs.limit(1), 4, store)
+    monkeypatch.setattr(sd, "_delete_batch_dirs", real_delete)
+    # recovery rolls FORWARD (gen -2 already holds every folded row);
+    # afterwards only gen -2 remains foldable → nothing new, returns 0
+    assert compact_store(spark, store, keep_batches=1) == 0
+    assert not os.path.exists(os.path.join(store, "_compact"))
+    for b in glob.glob(os.path.join(store, "bands", "bkt=*")):
+        kids = [k for k in os.listdir(b) if k.startswith("batch_id=")]
+        assert all(k in ("batch_id=-2", "batch_id=3") for k in kids)
+    # settled state intact: everything re-derivable and pairs unchanged
+    got = sorted((r.id_a, r.id_b) for r in near_dup_pairs(spark, store).collect())
+    assert got == _batch_pairs(spark, docs) and set(want) <= set(got)
