@@ -72,8 +72,15 @@ def _steal_counters() -> tuple[int, int]:
         return -1, -1
 
 
+# One quiet-window threshold for the whole bench toolchain: a trial or
+# session is steal-QUALIFIED at run steal <= this. tools/scaling_bench.py
+# and tools/bench_hunt.py import it, so the hunt's early-stop target and
+# the baseline's "qualified" records can never drift apart.
+QUIET_STEAL_PCT = 1.5
+
+
 def best_of(
-    fn, n: int, max_extra: int = 2, quiet_pct: float = 1.5
+    fn, n: int, max_extra: int = 2, quiet_pct: float = QUIET_STEAL_PCT
 ) -> tuple[float, list[float], list[float]]:
     """Best-of-N with steal-adaptive retries: steal is measured over each
     trial's own window, and if even the BEST trial ran under >quiet_pct%

@@ -68,7 +68,7 @@ def knn(
     id_col: str = "id",
     lat_col: str = "lat",
     lon_col: str = "lon",
-    max_driver_queries: int = 4096,
+    max_driver_queries: int | None = 4096,
 ) -> DataFrame:
     """→ (query_id, rank, id, d2) — the k nearest points per query.
 
@@ -83,8 +83,12 @@ def knn(
     (parallelized from those rows), NOT a distributed plan over `points`.
     max_driver_queries enforces the contract explicitly — above it the
     k·|queries| materialization belongs on executors, so callers are
-    directed to knn_df (same semantics, per-query radius as data)."""
-    if len(queries) > max_driver_queries:
+    directed to knn_df (same semantics, per-query radius as data).
+    Pass max_driver_queries=None to opt out and accept the driver
+    memory cost knowingly (pre-r4 callers with large lists got the slow
+    path silently; the default now raises instead — a deliberate
+    behavior change, recorded here in lieu of release notes)."""
+    if max_driver_queries is not None and len(queries) > max_driver_queries:
         raise ValueError(
             f"knn(): {len(queries)} queries exceeds max_driver_queries="
             f"{max_driver_queries}; this path collects k*|queries| rows to "

@@ -65,8 +65,14 @@ def q_status_fold(spark, sf_dir):
     per user it sums a 48-bit md5 hash of every session's
     (session_start, n_events, duration_s) triple, so moving any session
     boundary, dropping an event, or shifting a duration changes the
-    gate hash. 48 bits (12 hex chars) keeps the per-user sum far from
-    int64 overflow under Spark 4 ANSI arithmetic."""
+    gate hash. 48 bits (12 hex chars) keeps the per-user sum clear of
+    int64 overflow under Spark 4 ANSI arithmetic UP TO ~2^15 (~32k)
+    sessions per user — a bound, not a guarantee: past it Spark throws
+    (ANSI sum overflow) while DuckDB's HUGEINT sum only wraps at the
+    final BIGINT cast, so the engines fail differently. Gate corpora are
+    orders of magnitude below the bound (≤ hundreds of sessions/user);
+    a production digest over unbounded keys should fold with bit_xor
+    or pmod instead (overflow-free on both engines)."""
     ev = _mapped_events(spark, sf_dir)
     folded = fold_status(ev, seq_col="seq").select(
         F.col("note_id").alias("user_id"), "status", "closed_at"

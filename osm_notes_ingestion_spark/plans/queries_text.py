@@ -66,19 +66,70 @@ def _corpus(spark, sf_dir):
 # ------------------------------------------------------------- exact dedup
 
 
-def q_dedup_exact(spark, sf_dir):
-    """Exact dedup: canonical (min) doc id per text hash."""
-    c = _corpus(spark, sf_dir)
+def _messy_url(doc_id):
+    """Deterministic messy-URL synthesis for the url-dedup leg: 8
+    variants per doc that all denote page (doc_id % 97) — host/scheme
+    case, default port, trailing slash, fragment, unsorted params,
+    tracking params. Both engines build the SAME strings from doc_id;
+    only Spark runs the normalizer, the oracle derives the expected
+    canonical directly from the id arithmetic — so the gate checks the
+    normalizer against an INDEPENDENT expectation, not a mirrored
+    implementation."""
+    pid = (doc_id % 97).cast("string")
+    v = doc_id % 8
+    base = F.concat(F.lit("https://example.com/docs/"), pid)
     return (
-        c.withColumn("text_md5", F.md5(F.encode("text", "UTF-8")))
-        .groupBy("text_md5")
-        .agg(F.min("doc_id").alias("canonical_id"), F.count("*").alias("n_copies"))
+        F.when(v == 0, F.concat(F.lit("https://EXAMPLE.com/docs/"), pid))
+        .when(v == 1, F.concat(F.lit("https://example.com:443/docs/"), pid))
+        .when(v == 2, F.concat(base, F.lit("/")))
+        .when(v == 3, F.concat(base, F.lit("?utm_source=feed&utm_medium=rss")))
+        .when(v == 4, F.concat(base, F.lit("?b=2&a=1")))
+        .when(v == 5, F.concat(base, F.lit("?a=1&b=2#section-3")))
+        .when(v == 6, F.concat(F.lit("HTTPS://example.com/docs/"), pid))
+        .otherwise(F.concat(base, F.lit("?a=1&utm_campaign=x&b=2")))
     )
 
 
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup, TWO legs folded into one gate (driver 50-cap):
+    leg='text' keys by content hash (canonical min doc id per text md5);
+    leg='url' keys by normalized URL (functions/urls.normalize_url over
+    a deterministically-messy synthetic URL — the host/URL-level dedup a
+    training pipeline runs before content dedup). Column-identical legs
+    union into one result; the oracle recomputes the text leg with
+    DuckDB's md5 and the url leg from the generator's id arithmetic
+    (variants 4/5/7 keep ?a=1&b=2, the rest normalize to the bare path),
+    so every normalization rule is hash-pinned."""
+    from ..functions.urls import normalize_url
+
+    c = _corpus(spark, sf_dir)
+    text_leg = (
+        c.withColumn("key", F.md5(F.encode("text", "UTF-8")))
+        .groupBy("key")
+        .agg(F.min("doc_id").alias("canonical_id"), F.count("*").alias("n_copies"))
+        .withColumn("leg", F.lit("text"))
+    )
+    url_leg = (
+        c.select("doc_id", _messy_url(F.col("doc_id")).alias("url"))
+        .withColumn("key", normalize_url("url"))
+        .groupBy("key")
+        .agg(F.min("doc_id").alias("canonical_id"), F.count("*").alias("n_copies"))
+        .withColumn("leg", F.lit("url"))
+    )
+    cols = ["leg", "key", "canonical_id", "n_copies"]
+    return text_leg.select(cols).unionByName(url_leg.select(cols))
+
+
 SQL_DEDUP_EXACT = f"""WITH {SQL_CORPUS}
-SELECT md5(text) AS text_md5, min(doc_id) AS canonical_id, count(*) AS n_copies
-FROM corpus GROUP BY 1"""
+SELECT 'text' AS leg, md5(text) AS key, min(doc_id) AS canonical_id,
+       count(*) AS n_copies
+FROM corpus GROUP BY 2
+UNION ALL
+SELECT 'url' AS leg,
+       'https://example.com/docs/' || CAST(doc_id % 97 AS VARCHAR)
+         || CASE WHEN doc_id % 8 IN (4, 5, 7) THEN '?a=1&b=2' ELSE '' END AS key,
+       min(doc_id) AS canonical_id, count(*) AS n_copies
+FROM corpus GROUP BY 2"""
 
 
 # ------------------------------------------------------- exact jaccard dedup

@@ -65,6 +65,7 @@ its stale signatures remain in the store.
 
 from __future__ import annotations
 
+import logging
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -78,6 +79,7 @@ from ..operators.textops import (
 )
 
 _EMPTY_PAIRS = "id_a long, id_b long"
+_LOG = logging.getLogger(__name__)
 
 
 def _fs_and_path(spark: SparkSession, path: str):
@@ -373,6 +375,32 @@ def process_dedup_batch(
     )
     all_sets = new_sets.unionByName(old_sets)
     verified = jaccard_filter_sets(cands, all_sets, id_col=id_col, threshold=threshold)
+    if hot_band_cap is not None:
+        # The star/bridge cap assumes over-cap band groups are exact-dup
+        # families (their edges trivially pass verification). A BRIDGE
+        # edge rejected by Jaccard means that assumption was violated —
+        # the two sub-families the full |new|×|store| pair set would
+        # have connected may end up in separate clusters. Surface it
+        # loudly so operators can lower the cap / rerun uncapped for the
+        # affected keys (ADVICE r4).
+        verified = verified.persist()
+        to_release.append(verified)
+        n_rejected_bridges = (
+            bridges.distinct()
+            .join(verified, ["id_a", "id_b"], "left_anti")
+            .count()
+        )
+        if n_rejected_bridges:
+            _LOG.warning(
+                "batch %s: %d hot-band bridge edge(s) failed Jaccard "
+                "verification — an over-cap band group is NOT an exact-dup "
+                "family, so its cross-batch connectivity may be lost under "
+                "hot_band_cap=%s (rerun uncapped or raise the cap for "
+                "these keys)",
+                batch_id,
+                n_rejected_bridges,
+                hot_band_cap,
+            )
 
     # batch-id-keyed writes: a foreachBatch replay overwrites, not
     # appends. Pairs stay batch-major (never prune-read; mode=overwrite

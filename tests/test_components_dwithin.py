@@ -20,6 +20,8 @@ from osm_notes_ingestion_spark.functions.geodesy import EARTH_RADIUS_M
 from osm_notes_ingestion_spark.operators.components import (
     connected_components,
     dedup_cluster_labels,
+    incremental_cluster_labels,
+    incremental_components,
 )
 from osm_notes_ingestion_spark.operators.dwithin import dwithin_join, level_for_radius, site_cover
 from osm_notes_ingestion_spark.operators.tiles import dissolve_tiles, region_bbox_cols, tile_counts
@@ -85,6 +87,66 @@ def test_dedup_cluster_labels_canonical_flag(spark):
     rows = {r["doc_id"]: (r["cluster_id"], r["is_canonical"]) for r in
             dedup_cluster_labels(pairs, docs).collect()}
     assert rows == {1: (1, 1), 3: (1, 0), 7: (1, 0), 9: (9, 1)}
+
+
+def test_incremental_equals_full(spark):
+    """VERDICT r4 #4: fold edge batches into prior labels one at a time
+    (contracted-graph star rounds over the NEW edges only) and land on
+    exactly the full-recompute labels after every batch — on random
+    graphs AND on planted families spanning all three batches, including
+    a later-arriving smaller id that must steal a component's label."""
+    rng = random.Random(41)
+    for trial in range(3):
+        n = rng.choice([30, 80])
+        batches = [
+            [(rng.randrange(n), rng.randrange(n)) for _ in range(rng.randint(3, n))]
+            for _ in range(3)
+        ]
+        # planted cross-batch families: a chain 1-4-8 built one edge per
+        # batch, and component {20,21} whose min drops when 2 arrives last
+        batches[0] += [(4, 8), (20, 21)]
+        batches[1] += [(1, 4)]
+        batches[2] += [(2, 20)]
+        ndf = spark.createDataFrame([(i,) for i in range(n)], "node long")
+        labels = None
+        seen: list[tuple[int, int]] = []
+        for edges in batches:
+            seen += edges
+            edf = spark.createDataFrame(edges, "src long, dst long")
+            if labels is None:
+                labels = connected_components(edf, nodes=ndf)
+            else:
+                labels = incremental_components(edf, labels, nodes=ndf)
+            labels = labels.localCheckpoint(eager=True)  # yesterday's table
+            got = {r["node"]: r["comp"] for r in labels.collect()}
+            assert got == _uf_components(n, seen), f"trial {trial}"
+        full = {
+            r["node"]: r["comp"]
+            for r in connected_components(
+                spark.createDataFrame(seen, "src long, dst long"), nodes=ndf
+            ).collect()
+        }
+        assert {r["node"]: r["comp"] for r in labels.collect()} == full
+
+
+def test_incremental_cluster_labels_matches_batch_twin(spark):
+    """The dedup-shaped wrapper: canonical flags move correctly when a
+    smaller doc id joins an existing cluster, new docs appear, and an
+    empty batch is a no-op."""
+    docs1 = spark.createDataFrame([(i,) for i in (3, 7, 9)], "doc_id long")
+    prior = dedup_cluster_labels(
+        spark.createDataFrame([(3, 7)], "id_a long, id_b long"), docs1
+    ).localCheckpoint(eager=True)
+    docs2 = spark.createDataFrame([(i,) for i in (1, 3, 7, 9)], "doc_id long")
+    inc = incremental_cluster_labels(
+        spark.createDataFrame([(1, 7)], "id_a long, id_b long"), prior, docs2
+    )
+    rows = {r["doc_id"]: (r["cluster_id"], r["is_canonical"]) for r in inc.collect()}
+    assert rows == {1: (1, 1), 3: (1, 0), 7: (1, 0), 9: (9, 1)}
+    # empty new-pair batch: labels unchanged
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    again = incremental_cluster_labels(empty, inc.localCheckpoint(eager=True), docs2)
+    assert {r["doc_id"]: (r["cluster_id"], r["is_canonical"]) for r in again.collect()} == rows
 
 
 # --------------------------------------------------------- dissolve tiles

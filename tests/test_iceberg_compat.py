@@ -40,7 +40,12 @@ def _iceberg_jar_probe() -> tuple[str | None, str]:
     https://repo1.maven.org/maven2/...` fails with exit 6 (host
     resolution), so neither --packages nor a manual download can supply
     iceberg-spark-runtime. Status unchanged: real backend unobtainable
-    here, wired test below stands by."""
+    here, wired test below stands by.
+
+    Round-5 re-probe (2026-08-18): unchanged — filesystem sweep (find /
+    -name 'iceberg-spark-runtime*') empty, no ~/.ivy2 cache, `curl -I
+    https://repo1.maven.org/maven2/` exit 6 / http 000. Still blocked on
+    the driver vendoring the jar into the sandbox."""
     import pyspark
 
     candidates: list[str] = []

@@ -171,6 +171,31 @@ def test_hot_family_across_batches_is_bridged(spark, dirs):
     assert len({find(i) for i in range(800)}) == 1
 
 
+def test_rejected_bridge_warns(spark, dirs, caplog):
+    """ADVICE r4: when an over-cap band group is NOT an exact-dup family
+    and its bridge edge fails Jaccard verification, the batch must warn
+    (connectivity may be lost under the star contract) — and a healthy
+    exact-dup family must stay silent."""
+    import logging
+
+    _, store = dirs
+    fam = "identical boilerplate header shared by the whole family"
+    b0 = spark.range(0, 120).selectExpr("id AS doc_id", f"'{fam}' AS text")
+    b1 = spark.range(120, 240).selectExpr("id AS doc_id", f"'{fam}' AS text")
+    with caplog.at_level(logging.WARNING, "osm_notes_ingestion_spark.streaming.dedup"):
+        process_dedup_batch(spark, b0, 0, store, hot_band_cap=50)
+        process_dedup_batch(spark, b1, 1, store, hot_band_cap=50)
+    assert not [r for r in caplog.records if "bridge" in r.message]
+
+    # threshold > 1 makes every verification fail, bridge included
+    store2 = store + "_rej"
+    with caplog.at_level(logging.WARNING, "osm_notes_ingestion_spark.streaming.dedup"):
+        process_dedup_batch(spark, b0, 0, store2, hot_band_cap=50, threshold=1.01)
+        process_dedup_batch(spark, b1, 1, store2, hot_band_cap=50, threshold=1.01)
+    warns = [r for r in caplog.records if "bridge" in r.getMessage()]
+    assert warns and "hot_band_cap=50" in warns[-1].getMessage()
+
+
 def test_layout_guards_fail_loudly(spark, dirs):
     """A store must not silently read as empty: a bucket-count change
     raises at batch entry, a store holding data in the old batch-major

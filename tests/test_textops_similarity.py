@@ -168,6 +168,30 @@ def test_bucketed_ann_recall(spark):
     assert sum(recalls) / len(recalls) >= 0.5, recalls
 
 
+def test_normalize_url_rules(spark):
+    """Every normalization rule pinned on hand-built cases, including
+    the ones the gate's generator can't cover (non-default port kept,
+    http:80 dropped, no-scheme passthrough, multi-slash path)."""
+    from osm_notes_ingestion_spark.functions.urls import normalize_url
+
+    cases = [
+        ("HTTPS://Example.COM/A/b/", "https://example.com/A/b"),
+        ("https://example.com:443/x", "https://example.com/x"),
+        ("http://example.com:80/x", "http://example.com/x"),
+        ("http://example.com:8080/x", "http://example.com:8080/x"),
+        ("https://example.com", "https://example.com/"),
+        ("https://example.com/a?utm_source=x&utm_medium=y", "https://example.com/a"),
+        ("https://example.com/a?b=2&a=1#frag", "https://example.com/a?a=1&b=2"),
+        ("https://example.com/a?a=1&gclid=z&ref=abc&b=2", "https://example.com/a?a=1&b=2"),
+        ("https://example.com/a//", "https://example.com/a"),
+        ("not a url at all", "not a url at all"),
+        ("ftp://Host.Example/Z", "ftp://host.example/Z"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [r.n for r in df.select(normalize_url("url").alias("n")).collect()]
+    assert got == [want for _, want in cases]
+
+
 def test_bucketed_ann_mask_expansion_matches_ball(spark):
     """The per-query XOR-mask expansion (VERDICT r4 #1 fix) must probe
     EXACTLY the hamming ball: result ≡ a pandas reference that scores

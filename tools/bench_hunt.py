@@ -30,6 +30,9 @@ import sys
 import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+from bench import QUIET_STEAL_PCT  # noqa: E402 — single quiet threshold
+
 LOCK = "/tmp/bench_hunt.lock"
 LOG = os.path.join(REPO, "BENCH", "bench_sessions.jsonl")
 
@@ -101,7 +104,7 @@ def main() -> None:
             for r in (json.loads(l) for l in open(LOG) if l.strip())
             if r.get("bench_schema", 1) == schema
             and isinstance(r.get("run_steal_pct"), (int, float))
-            and 0 <= r["run_steal_pct"] <= 1.5
+            and 0 <= r["run_steal_pct"] <= QUIET_STEAL_PCT
         ]
         return min(vals) if vals else None
 

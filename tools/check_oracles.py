@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import os
 import sys
+import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -68,15 +69,17 @@ def main(names: list[str]) -> int:
     failures = 0
     for name in todo:
         fn = qs[name]
+        t0 = time.monotonic()
         try:
             got = fn(spark, SF_DIR).toPandas()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: spark error {type(e).__name__}: {str(e)[:200]}")
             failures += 1
             continue
+        spark_s = time.monotonic() - t0
         sql = oracles.get(name)
         if sql is None:
-            print(f"OK?   {name}: rows-only ({len(got)} rows, no oracle)")
+            print(f"OK?   {name}: rows-only ({len(got)} rows, no oracle) [spark {spark_s:.2f}s]")
             continue
         try:
             exp = con.sql(sql).df()
@@ -99,7 +102,7 @@ def main(names: list[str]) -> int:
             print(f"FAIL  {name}: value mismatch at sorted row {i}:\n  got {g.iloc[i].to_dict()}\n  exp {e.iloc[i].to_dict()}")
             failures += 1
             continue
-        print(f"PASS  {name} ({len(g)} rows)")
+        print(f"PASS  {name} ({len(g)} rows) [spark {spark_s:.2f}s]", flush=True)
     return failures
 
 

@@ -106,8 +106,10 @@ SESSIONS_LOG = os.path.join(REPO, "BENCH", "scaling_sessions.jsonl")
 
 # A headline session is steal-QUALIFIED when its whole-run steal is at
 # or under this — the same quiet threshold bench.py's steal-adaptive
-# best-of applies to individual trials (bench.py _best_of quiet_pct).
-QUIET_STEAL_PCT = 1.5
+# best-of applies to individual trials (single source: bench.py, so the
+# hunt's early-stop target and these records can't drift).
+sys.path.insert(0, REPO)
+from bench import QUIET_STEAL_PCT  # noqa: E402
 
 
 def _cpu_steal_pct() -> float:
