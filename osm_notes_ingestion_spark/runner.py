@@ -260,8 +260,44 @@ def main(argv: list[str] | None = None) -> None:
         gen = compact_store(spark, store, keep_batches=1)
         pairs = near_dup_pairs(spark, store)
         pairs.write.mode("overwrite").parquet(f"{args.output}/near_dup_pairs")
+        # cluster labels maintained INCREMENTALLY, batch by batch — the
+        # daily-label-maintenance shape (operators/components.
+        # incremental_cluster_labels): each settled batch's pairs fold
+        # into the prior labels through the contracted graph, so no step
+        # ever re-reads the whole pair store (equivalence to the full
+        # recompute is pytest-pinned)
+        from .operators.components import incremental_cluster_labels
+
+        pairs_by_batch = spark.read.option("basePath", f"{store}/pairs").parquet(
+            f"{store}/pairs"
+        )
+        batch_ids = sorted(
+            r.batch_id for r in pairs_by_batch.select("batch_id").distinct().collect()
+        )
+        labels = None
+        for bid in batch_ids:
+            bpairs = pairs_by_batch.where(F.col("batch_id") == bid).drop("batch_id")
+            labels = incremental_cluster_labels(
+                bpairs,
+                labels
+                if labels is not None
+                else docs.select(
+                    "doc_id", F.col("doc_id").alias("cluster_id"), F.lit(1).alias("is_canonical")
+                ),
+                docs.select("doc_id"),
+            ).localCheckpoint(eager=True)
+        if labels is not None:
+            labels.write.mode("overwrite").parquet(f"{args.output}/clusters")
         mlog.log_counters(
-            run_id, "stream_dedup", {"n_pairs": pairs.count(), "compact_gen": gen}
+            run_id,
+            "stream_dedup",
+            {
+                "n_pairs": pairs.count(),
+                "compact_gen": gen,
+                "n_clusters": (
+                    labels.where(F.col("is_canonical") == 1).count() if labels is not None else 0
+                ),
+            },
         )
     elif args.job == "vectorize":
         # raster→vector: tile rollup → dissolved regions with degree bbox
