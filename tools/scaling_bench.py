@@ -384,7 +384,12 @@ are comparable ONLY within one bench_schema (a schema bump re-scopes
 what a query times — bench.py's value_semantics field documents each),
 and a session is steal-QUALIFIED only when its whole-run steal is at or
 under the {QUIET_STEAL_PCT}% quiet threshold bench.py itself applies to
-trials. Per-schema records:
+trials. Steal is a necessary, not sufficient, quietness signal: co-tenant
+MEMORY-BANDWIDTH contention is invisible to /proc/stat steal, so a
+qualified session can still run slow (e.g. the 2026-08-18 evening
+windows: ~15.2s at <1% steal on code identical to the 10.779s capture).
+Records therefore read as best-qualified = least-contended observed
+window. Per-schema records:
 {rec_md}
 {lines}
 """
