@@ -249,12 +249,31 @@ def q_dedup_clusters(spark, sf_dir):
     over the pair graph, canonical doc = component minimum. This is the
     step that makes dedup actionable — keep rows where is_canonical=1.
     The oracle recomputes the identical pair graph in SQL and resolves
-    components with a recursive min-label closure."""
-    from ..operators.components import dedup_cluster_labels
+    components with a recursive min-label closure.
 
-    pairs = q_dedup_minhash_lsh(spark, sf_dir)
+    The gate also pins INCREMENTAL label maintenance (the daily job that
+    folds new similarity edges into yesterday's labels without re-reading
+    the settled pair graph, operators/components.incremental_components):
+    the same verified pairs are split deterministically into two batches
+    (pmod(xxhash64(id_a, id_b), 2)), batch 0 is labeled from scratch and
+    batch 1 folded in incrementally; the result's `inc_cluster_id` column
+    carries those maintained labels. The oracle emits its full-graph
+    closure label for BOTH columns, so the value hash pins
+    incremental ≡ full ≡ independent SQL closure, per row."""
+    from ..operators.components import dedup_cluster_labels, incremental_cluster_labels
+
+    pairs = q_dedup_minhash_lsh(spark, sf_dir).withColumn(
+        "_b", F.pmod(F.xxhash64("id_a", "id_b"), F.lit(2))
+    )
+    pairs.persist()
+    _SHINGLE_CACHE_SLOT.append(pairs)
     docs = _corpus(spark, sf_dir).select("doc_id")
-    return dedup_cluster_labels(pairs, docs)
+    full = dedup_cluster_labels(pairs, docs)
+    prior = dedup_cluster_labels(pairs.where(F.col("_b") == 0), docs)
+    inc = incremental_cluster_labels(pairs.where(F.col("_b") == 1), prior, docs)
+    return full.join(
+        inc.select("doc_id", F.col("cluster_id").alias("inc_cluster_id")), "doc_id"
+    ).select("doc_id", "cluster_id", "is_canonical", "inc_cluster_id")
 
 
 SQL_DEDUP_CLUSTERS = f"""WITH RECURSIVE {SQL_CORPUS}, {_SQL_SHINGLES}, {_SQL_MINHASH},
@@ -284,7 +303,8 @@ reach AS (
 ),
 lab AS (SELECT node, min(comp) AS comp FROM reach GROUP BY 1)
 SELECT node AS doc_id, comp AS cluster_id,
-       CAST(CASE WHEN node = comp THEN 1 ELSE 0 END AS INTEGER) AS is_canonical
+       CAST(CASE WHEN node = comp THEN 1 ELSE 0 END AS INTEGER) AS is_canonical,
+       comp AS inc_cluster_id
 FROM lab"""
 
 
