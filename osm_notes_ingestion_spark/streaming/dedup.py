@@ -539,16 +539,20 @@ def compact_store(
     # recover a crashed compaction first
     if fs.exists(marker_dir):
         names = {st.getPath().getName() for st in fs.listStatus(marker_dir)}
+        # markers are created strictly BEFORE any generation write (gen=,
+        # then keep=, then data, then committed) — a marker dir missing
+        # gen= or keep= therefore predates all writes and is safe to
+        # treat as a no-op roll-back rather than crash on
         stale_gen = next(
-            int(n.split("=", 1)[1]) for n in names if n.startswith("gen=")
+            (int(n.split("=", 1)[1]) for n in names if n.startswith("gen=")), None
         )
         stale_keep = next(
-            int(n.split("=", 1)[1]) for n in names if n.startswith("keep=")
+            (int(n.split("=", 1)[1]) for n in names if n.startswith("keep=")), None
         )
-        if "committed" in names:
+        if "committed" in names and stale_gen is not None and stale_keep is not None:
             # roll forward: the generation is complete, finish the deletes
             _delete_batch_dirs(fs, root, _fold_set(stale_gen, stale_keep))
-        else:
+        elif stale_gen is not None:
             # roll back: source dirs are intact, drop the partial gen
             _delete_batch_dirs(fs, root, {stale_gen})
         fs.delete(marker_dir, True)

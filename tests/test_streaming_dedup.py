@@ -288,6 +288,33 @@ def test_compaction_folds_settled_batches(spark, dirs):
     assert got2 == got
 
 
+def test_compaction_recovery_before_markers_complete(spark, dirs):
+    """A crash BETWEEN the marker mkdirs (gen= present, keep= not yet —
+    or an empty marker dir) predates every generation write, so recovery
+    must be a safe no-op roll-back, not a crash: the next compact_store
+    clears the marker and folds normally."""
+    _, store = dirs
+    docs = _docs(spark)
+    for i in range(3):
+        process_dedup_batch(spark, docs.where(f"doc_id % 4 = {i}"), i, store)
+    want = sorted((r.id_a, r.id_b) for r in near_dup_pairs(spark, store).collect())
+
+    # empty marker dir (crash before even gen= landed)
+    os.makedirs(os.path.join(store, "_compact"))
+    with pytest.raises(ValueError, match="unfinished compaction"):
+        process_dedup_batch(spark, docs.limit(1), 3, store)
+    assert compact_store(spark, store, keep_batches=2) == 1
+    assert not os.path.exists(os.path.join(store, "_compact"))
+
+    # gen= only (crash between the two marker mkdirs); the named partial
+    # gen doesn't exist on disk — roll-back must tolerate that too
+    os.makedirs(os.path.join(store, "_compact", "gen=-9"))
+    assert compact_store(spark, store, keep_batches=1) == 2
+    assert not os.path.exists(os.path.join(store, "_compact"))
+    got = sorted((r.id_a, r.id_b) for r in near_dup_pairs(spark, store).collect())
+    assert got == want
+
+
 def test_compaction_crash_recovery(spark, dirs, monkeypatch):
     """A leftover _compact marker blocks batch processing loudly, and
     compact_store recovers from both crash phases: pre-commit (roll back
