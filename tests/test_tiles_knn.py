@@ -55,6 +55,23 @@ def test_knn_matches_brute_force(spark, pts):
     pd.testing.assert_frame_equal(fast[["query_id", "rank", "id", "d2"]], slow[["query_id", "rank", "id", "d2"]])
 
 
+def test_knn_driver_cap_and_opt_out(spark, pts):
+    """The driver-result contract (operators/knn.py): above
+    max_driver_queries the list path refuses with a pointer to knn_df;
+    max_driver_queries=None opts out (ADVICE r4) and still returns the
+    exact brute-force answer."""
+    queries = [(1, 35.0, -100.0), (2, 0.0, 60.0), (3, -5.0, 179.9)]
+    with pytest.raises(ValueError, match="knn_df"):
+        knn(spark, pts, queries, k=2, level=6, max_driver_queries=2)
+    fast = knn(spark, pts, queries, k=2, level=6, max_driver_queries=None).toPandas()
+    slow = knn_brute_force(pts, queries, k=2).toPandas()
+    fast = fast.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    slow = slow.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        fast[["query_id", "rank", "id", "d2"]], slow[["query_id", "rank", "id", "d2"]]
+    )
+
+
 def test_knn_wraps_antimeridian(spark):
     # two points straddling ±180: the wrap must make them neighbors
     pdf = spark.createDataFrame(
