@@ -5,7 +5,7 @@
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      SPARK_GRAFT_CPUS (default 32),
      SPARK_GRAFT_FANOUT (default 24 → 24× pages for the flagship assign),
-     SPARK_GRAFT_TRIALS (default 2 → best-of-N per query).
+     SPARK_GRAFT_TRIALS (default 3 → best-of-N per query).
 
 Methodology:
 - every query is fully materialized through the noop sink (no collect);
