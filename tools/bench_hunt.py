@@ -34,7 +34,26 @@ sys.path.insert(0, REPO)
 from bench import QUIET_STEAL_PCT  # noqa: E402 — single quiet threshold
 
 LOCK = "/tmp/bench_hunt.lock"
+# A sibling scaling_hunt holds this one while IT runs Spark work; two
+# concurrent hunts contaminate each other's measurements.
+PEER_LOCKS = ("/tmp/scaling_hunt.lock",)
 LOG = os.path.join(REPO, "BENCH", "bench_sessions.jsonl")
+
+
+def hunt_in_progress() -> str | None:
+    """Path of any live hunt lock (ours or a peer's), else None.
+
+    Both hunts are advisory-locked but historically only WROTE the lock
+    without checking it — two hunts launched from different sessions ran
+    their Spark jobs concurrently (observed: both sessions ~7% run
+    steal, and the first finisher's cleanup removed the lock out from
+    under the second, crashing it). Checking before running closes both
+    failure modes.
+    """
+    for p in (LOCK, *PEER_LOCKS):
+        if os.path.exists(p):
+            return p
+    return None
 
 
 def steal_pct(window_s: float = 3.0) -> float:
@@ -110,6 +129,11 @@ def main() -> None:
 
     best = None
     for i in range(rounds):
+        held = hunt_in_progress()
+        if held is not None:
+            print(f"probe {i}: {held} held by another hunt — skipping window", flush=True)
+            time.sleep(sleep_s)
+            continue
         s = steal_pct()
         if s > max_steal:
             print(f"probe {i}: steal {s:.2f}% > {max_steal}% — skipping window", flush=True)
@@ -120,7 +144,12 @@ def main() -> None:
         try:
             rec = run_bench()
         finally:
-            os.remove(LOCK)
+            # tolerate a vanished lock (e.g. an operator cleaned /tmp)
+            # rather than crashing after a completed bench run
+            try:
+                os.remove(LOCK)
+            except FileNotFoundError:
+                pass
         if rec is None:
             time.sleep(sleep_s)
             continue

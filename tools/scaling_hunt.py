@@ -25,6 +25,17 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from tools import scaling_bench as sb  # noqa: E402
 
 LOCK = "/tmp/scaling_hunt.lock"
+# bench_hunt holds this one while IT runs Spark work; skip such windows
+# instead of contending (see bench_hunt.hunt_in_progress for the
+# observed two-hunt collision this prevents).
+PEER_LOCKS = ("/tmp/bench_hunt.lock",)
+
+
+def _remove_lock() -> None:
+    try:
+        os.remove(LOCK)
+    except FileNotFoundError:
+        pass
 
 
 def main() -> None:
@@ -36,12 +47,17 @@ def main() -> None:
 
     best = None
     for i in range(rounds):
+        busy = next((p for p in (LOCK, *PEER_LOCKS) if os.path.exists(p)), None)
+        if busy is not None:
+            print(f"probe {i}: {busy} held by another hunt — skipping window", flush=True)
+            time.sleep(sleep_s)
+            continue
         open(LOCK, "w").write("probe\n")
         try:
             r = sb.run_once(probe_cpus, pages_path)
         except Exception as exc:  # noqa: BLE001 — keep hunting on trial failure
             print(f"probe {i}: failed ({exc})", flush=True)
-            os.remove(LOCK)
+            _remove_lock()
             time.sleep(sleep_s)
             continue
         t8 = r["sec"]
@@ -53,7 +69,7 @@ def main() -> None:
             open(LOCK, "w").write("session\n")
             sys.argv = [sys.argv[0]]  # no --report-only
             sb.main()
-            os.remove(LOCK)
+            _remove_lock()
             import json
 
             # stop only on a clean session captured by THIS run (the log
@@ -68,7 +84,7 @@ def main() -> None:
                 )
                 return
         else:
-            os.remove(LOCK)
+            _remove_lock()
         time.sleep(sleep_s)
     print(f"hunt exhausted; best 8-core probe {best}", flush=True)
 
