@@ -45,7 +45,10 @@ def _iceberg_jar_probe() -> tuple[str | None, str]:
     Round-5 re-probe (2026-08-18): unchanged — filesystem sweep (find /
     -name 'iceberg-spark-runtime*') empty, no ~/.ivy2 cache, `curl -I
     https://repo1.maven.org/maven2/` exit 6 / http 000. Still blocked on
-    the driver vendoring the jar into the sandbox."""
+    the driver vendoring the jar into the sandbox.
+
+    Late-round-5 re-probe (2026-08-19): unchanged — sweep empty, curl
+    exit 6 (host resolution)."""
     import pyspark
 
     candidates: list[str] = []
