@@ -27,6 +27,12 @@ def test_hunt_in_progress_sees_own_and_peer_locks(tmp_path, monkeypatch):
     assert bench_hunt.hunt_in_progress() == str(own)
 
 
+def test_membw_probe_returns_plausible_bandwidth():
+    # tiny arrays — correctness of units, not a real bandwidth reading
+    bw = bench_hunt.membw_gbps(mb=8, reps=1)
+    assert 0.1 < bw < 1000.0
+
+
 def test_scaling_hunt_remove_lock_tolerates_missing(tmp_path, monkeypatch):
     lock = tmp_path / "scaling_hunt.lock"
     monkeypatch.setattr(scaling_hunt, "LOCK", str(lock))

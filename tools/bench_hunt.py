@@ -69,6 +69,34 @@ def steal_pct(window_s: float = 3.0) -> float:
     return 100.0 * d[7] / tot
 
 
+def membw_gbps(mb: int = 256, reps: int = 3) -> float:
+    """Single-thread numpy triad (a = b + c over ~`mb` MB arrays) → GB/s.
+
+    The sessions log shows steal-QUALIFIED but slow windows (e.g.
+    13.5 s headlines at 0.3% run steal): /proc/stat steal only sees CPU
+    time taken by the hypervisor, not other tenants saturating the
+    shared memory bus. This probe pins the second variable — a quiet
+    window shows the host's full single-core stream bandwidth, a
+    bus-contended one measurably less — so "qualified-but-slow" becomes
+    a diagnosable record instead of an inference. Best-of-`reps` is
+    reported (contention can only lower a reading, never raise it).
+    """
+    import numpy as np
+
+    n = mb * 1024 * 1024 // 8
+    b = np.ones(n)
+    c = np.ones(n)
+    best = 0.0
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        a = b + c
+        dt = time.perf_counter() - t0
+        del a
+        # triad traffic: read b, read c, write a = 3 arrays × 8 B × n
+        best = max(best, 3 * 8 * n / dt / 1e9)
+    return best
+
+
 def run_bench() -> dict | None:
     try:
         proc = subprocess.run(
@@ -139,7 +167,8 @@ def main() -> None:
             print(f"probe {i}: steal {s:.2f}% > {max_steal}% — skipping window", flush=True)
             time.sleep(sleep_s)
             continue
-        print(f"probe {i}: steal {s:.2f}% — running bench", flush=True)
+        bw = membw_gbps()
+        print(f"probe {i}: steal {s:.2f}%, membw {bw:.1f} GB/s — running bench", flush=True)
         open(LOCK, "w").write("bench\n")
         try:
             rec = run_bench()
@@ -154,6 +183,7 @@ def main() -> None:
             time.sleep(sleep_s)
             continue
         rec["probe_steal_pct"] = round(s, 3)
+        rec["probe_membw_gbps"] = round(bw, 2)
         rec["captured_unix"] = int(time.time())
         # derive the stop target from PRIOR sessions before logging this
         # one (a fresh schema's first session must not stop the hunt by
