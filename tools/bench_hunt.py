@@ -13,6 +13,8 @@ marks activity so an operator can avoid launching concurrent Spark work.
 
 Env: BHUNT_ROUNDS (default 10), BHUNT_SLEEP_S (default 420),
      BHUNT_PROBE_STEAL_PCT (default 1.0 — skip windows with >1% steal),
+     BHUNT_MIN_MEMBW_GBPS (default 0 = off — also skip windows whose
+     single-thread triad bandwidth probe reads below this),
      BHUNT_TARGET_S (default: derived per session from the log — stop
      early when a session beats the best prior steal-qualified session
      OF ITS OWN bench_schema; records are only comparable within one
@@ -137,6 +139,12 @@ def main() -> None:
     rounds = int(os.environ.get("BHUNT_ROUNDS", "10"))
     sleep_s = int(os.environ.get("BHUNT_SLEEP_S", "420"))
     max_steal = float(os.environ.get("BHUNT_PROBE_STEAL_PCT", "1.0"))
+    # opt-in second gate: skip windows whose single-thread triad
+    # bandwidth is below this (GB/s). 0 = off. Steal-quiet windows with
+    # a saturated memory bus produce qualified-but-slow sessions; once
+    # the log establishes the host's quiet-window bandwidth, setting
+    # this saves the ~6 min a doomed bench costs.
+    min_membw = float(os.environ.get("BHUNT_MIN_MEMBW_GBPS", "0"))
     env_target = os.environ.get("BHUNT_TARGET_S")
 
     def target_for(schema) -> float | None:
@@ -168,6 +176,13 @@ def main() -> None:
             time.sleep(sleep_s)
             continue
         bw = membw_gbps()
+        if bw < min_membw:
+            print(
+                f"probe {i}: steal {s:.2f}% but membw {bw:.1f} < {min_membw} GB/s — skipping window",
+                flush=True,
+            )
+            time.sleep(sleep_s)
+            continue
         print(f"probe {i}: steal {s:.2f}%, membw {bw:.1f} GB/s — running bench", flush=True)
         open(LOCK, "w").write("bench\n")
         try:
