@@ -355,6 +355,11 @@ def _headline_sessions_md() -> str:
         f"run steal {r.get('run_steal_pct', '?')}%, "
         f"probe steal {r.get('probe_steal_pct', '?')}%, "
         f"schema {r.get('bench_schema', 1)}"
+        + (
+            f", probe membw {r['probe_membw_gbps']} GB/s"
+            if isinstance(r.get("probe_membw_gbps"), (int, float))
+            else ""
+        )
         for r in rows
     )
     records = []
@@ -395,6 +400,11 @@ trials. Steal is a necessary, not sufficient, quietness signal: co-tenant
 MEMORY-BANDWIDTH contention is invisible to /proc/stat steal, so a
 qualified session can still run slow (e.g. the 2026-08-18 evening
 windows: ~15.2s at <1% steal on code identical to the 10.779s capture).
+Since round 5 bench_hunt measures a single-thread numpy-triad bandwidth
+probe immediately before each bench (probe_membw_gbps below, where
+present) — the first annotated sessions read 4.3–8.2 GB/s and all ran
+12–14s despite low steal, pinning bus contention as the slow-window
+mechanism (see BENCH/NOTES.md).
 Records therefore read as best-qualified = least-contended observed
 window. Per-schema records:
 {rec_md}
