@@ -79,6 +79,33 @@ def _steal_counters() -> tuple[int, int]:
 QUIET_STEAL_PCT = 1.5
 
 
+def membw_gbps(mb: int = 256, reps: int = 3) -> float:
+    """Single-thread numpy triad (a = b + c over ~`mb` MB arrays) → GB/s.
+
+    Co-tenant memory-bus contention is invisible to /proc/stat steal but
+    dominates this host's headline variance (BENCH/NOTES.md: 13
+    annotated sessions show the steal-quiet headline monotone in this
+    probe — ~9.6 s at 9.0 GB/s down to 12–14 s under 8.4). Measured
+    once before the trials and reported as membw_gbps so every captured
+    record can be placed on that curve. Best-of-`reps`: contention can
+    only lower a reading, never raise it.
+    """
+    import numpy as np
+
+    n = mb * 1024 * 1024 // 8
+    b = np.ones(n)
+    c = np.ones(n)
+    best = 0.0
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        a = b + c
+        dt = time.perf_counter() - t0
+        del a
+        # triad traffic: read b, read c, write a = 3 arrays × 8 B × n
+        best = max(best, 3 * 8 * n / dt / 1e9)
+    return best
+
+
 def best_of(
     fn, n: int, max_extra: int = 2, quiet_pct: float = QUIET_STEAL_PCT
 ) -> tuple[float, list[float], list[float]]:
@@ -117,6 +144,7 @@ def main() -> None:
     from osm_notes_ingestion_spark.sources.polygons import prep_polygons
     from osm_notes_ingestion_spark.sources.synth import pages_df, world_polygons
 
+    bw = membw_gbps()
     steal0, total0 = _steal_counters()
     spark = get_spark(CPUS, "bench")
     # JVM warm (codegen/classloading)
@@ -258,6 +286,10 @@ def main() -> None:
                 # source (BENCH/BASELINE.md session table)
                 "run_steal_pct": run_steal_pct,
                 "cum_steal_pct": cum_steal_pct,
+                # single-thread triad bandwidth measured just before the
+                # trials — places this record on the contention curve in
+                # BENCH/NOTES.md (steal-quiet headline is monotone in it)
+                "membw_gbps": round(bw, 2),
                 "queries": {k: round(v, 3) for k, v in timings.items()},
                 "trials": trials,
                 # steal measured over each trial's own window; best_of

@@ -33,7 +33,7 @@ import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
-from bench import QUIET_STEAL_PCT  # noqa: E402 — single quiet threshold
+from bench import QUIET_STEAL_PCT, membw_gbps  # noqa: E402 — shared probe + threshold
 
 LOCK = "/tmp/bench_hunt.lock"
 # A sibling scaling_hunt holds this one while IT runs Spark work; two
@@ -69,34 +69,6 @@ def steal_pct(window_s: float = 3.0) -> float:
     d = [y - x for x, y in zip(a, b)]
     tot = sum(d) or 1
     return 100.0 * d[7] / tot
-
-
-def membw_gbps(mb: int = 256, reps: int = 3) -> float:
-    """Single-thread numpy triad (a = b + c over ~`mb` MB arrays) → GB/s.
-
-    The sessions log shows steal-QUALIFIED but slow windows (e.g.
-    13.5 s headlines at 0.3% run steal): /proc/stat steal only sees CPU
-    time taken by the hypervisor, not other tenants saturating the
-    shared memory bus. This probe pins the second variable — a quiet
-    window shows the host's full single-core stream bandwidth, a
-    bus-contended one measurably less — so "qualified-but-slow" becomes
-    a diagnosable record instead of an inference. Best-of-`reps` is
-    reported (contention can only lower a reading, never raise it).
-    """
-    import numpy as np
-
-    n = mb * 1024 * 1024 // 8
-    b = np.ones(n)
-    c = np.ones(n)
-    best = 0.0
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        a = b + c
-        dt = time.perf_counter() - t0
-        del a
-        # triad traffic: read b, read c, write a = 3 arrays × 8 B × n
-        best = max(best, 3 * 8 * n / dt / 1e9)
-    return best
 
 
 def run_bench() -> dict | None:
