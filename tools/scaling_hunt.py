@@ -11,7 +11,14 @@ A lockfile (/tmp/scaling_hunt.lock) marks probe/session activity so an
 operator can avoid launching concurrent Spark work.
 
 Env: HUNT_ROUNDS (default 14), HUNT_SLEEP_S (default 480),
-     HUNT_THRESHOLD_S (default 27.0 — yesterday's quiet best was 21.3s).
+     HUNT_THRESHOLD_S (default 27.0 — yesterday's quiet best was 21.3s),
+     HUNT_MIN_MEMBW_GBPS (default 0 = off — skip windows whose
+     single-thread triad bandwidth probe reads below this, the same gate
+     bench_hunt grew in round 5: co-tenant memory-bus contention is
+     invisible to CPU steal but depresses BOTH phases unevenly, and the
+     bandwidth-poor sessions it produces dilute the efficiency median;
+     the probe costs milliseconds and runs BEFORE the ~20 s 8-core
+     probe, so gated-out windows are nearly free).
 """
 
 from __future__ import annotations
@@ -43,6 +50,7 @@ def main() -> None:
     sleep_s = int(os.environ.get("HUNT_SLEEP_S", "480"))
     threshold = float(os.environ.get("HUNT_THRESHOLD_S", "27.0"))
     probe_cpus = int(os.environ.get("HUNT_PROBE_CPUS", "8"))
+    min_membw = float(os.environ.get("HUNT_MIN_MEMBW_GBPS", "0"))
     pages_path = os.environ.get("SPARK_GRAFT_PAGES_PATH", "/tmp/scaling_pages")
 
     best = None
@@ -52,6 +60,17 @@ def main() -> None:
             print(f"probe {i}: {busy} held by another hunt — skipping window", flush=True)
             time.sleep(sleep_s)
             continue
+        if min_membw:
+            from bench import membw_gbps
+
+            bw = membw_gbps()
+            if bw < min_membw:
+                print(
+                    f"probe {i}: membw {bw:.1f} < {min_membw} GB/s — skipping window",
+                    flush=True,
+                )
+                time.sleep(sleep_s)
+                continue
         open(LOCK, "w").write("probe\n")
         try:
             r = sb.run_once(probe_cpus, pages_path)
