@@ -192,6 +192,37 @@ def test_normalize_url_rules(spark):
     assert got == [want for _, want in cases]
 
 
+def test_normalize_url_idempotent(spark):
+    """normalize(normalize(u)) == normalize(u) — the contract that lets
+    an ingest pipeline re-normalize an already-canonical key store (e.g.
+    on a replayed batch) without churning keys. Pinned over the gate
+    generator's 8 variant shapes plus every hand-built rule case."""
+    from osm_notes_ingestion_spark.functions.urls import normalize_url
+
+    urls = [
+        "HTTPS://Example.COM/A/b/",
+        "https://example.com:443/x",
+        "http://example.com:8080/x",
+        "https://example.com",
+        "https://example.com/a?b=2&a=1#frag",
+        "https://example.com/a?a=1&gclid=z&ref=abc&b=2",
+        "https://example.com/a//",
+        "not a url at all",
+        "ftp://Host.Example/Z",
+        "https://example.com/docs/3?a=1&utm_campaign=x&b=2",
+        "https://example.com/docs/3?utm_source=feed&utm_medium=rss",
+        "HTTPS://example.com/docs/3",
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    rows = df.select(
+        normalize_url("url").alias("once"),
+        normalize_url(normalize_url("url")).alias("twice"),
+    ).collect()
+    assert all(r.once == r.twice for r in rows), [
+        (r.once, r.twice) for r in rows if r.once != r.twice
+    ]
+
+
 def test_bucketed_ann_mask_expansion_matches_ball(spark):
     """The per-query XOR-mask expansion (VERDICT r4 #1 fix) must probe
     EXACTLY the hamming ball: result ≡ a pandas reference that scores
