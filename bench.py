@@ -89,6 +89,16 @@ def membw_gbps(mb: int = 256, reps: int = 3) -> float:
     once before the trials and reported as membw_gbps so every captured
     record can be placed on that curve. Best-of-`reps`: contention can
     only lower a reading, never raise it.
+
+    UNIT CAVEAT: `a = b + c` allocates a fresh result each rep, so
+    first-touch page faults and zeroing are billed to the timed window —
+    the figure is a probe-specific RELATIVE index that systematically
+    understates true STREAM-triad bandwidth. Every recorded
+    probe_membw_gbps and every *_MIN_MEMBW_GBPS gate threshold is in
+    these same deflated units, so they compare against each other but
+    NOT against hardware-spec GB/s. Kept as-is deliberately: switching
+    to a preallocated out= triad would re-scale the unit and orphan the
+    session history in BENCH/*.jsonl.
     """
     import numpy as np
 

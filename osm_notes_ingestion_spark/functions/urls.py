@@ -16,12 +16,15 @@ canonicalization is the web-corpus generalization of the same
 
 Normalization rules (the industry-standard safe subset — RFC 3986 §6
 syntax-based normalization plus tracking-param stripping):
-- scheme and host lowercased
+- scheme and host lowercased (userinfo before '@', if any, is kept
+  byte-identical — RFC 3986 §3.2.1 userinfo is case-sensitive)
 - default ports dropped (http:80, https:443); other ports kept
 - fragment dropped
 - path: trailing slashes stripped, empty path → "/"
 - query: params split on '&', tracking params dropped (utm_*, gclid,
-  fbclid, ref), the rest SORTED and rejoined; empty query dropped
+  fbclid, ref — matched case-insensitively: emitters that uppercase
+  param names must not defeat the dedup key), the rest SORTED and
+  rejoined; empty query dropped
 - a string with no scheme:// prefix is returned unchanged (best-effort
   contract: garbage in, garbage out — never an error)
 """
@@ -32,7 +35,7 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 _SCHEME_RE = r"^([A-Za-z][A-Za-z0-9+.\-]*)://"
-_TRACKING_RE = r"^(utm_[^=&]*|gclid|fbclid|ref)(=|$)"
+_TRACKING_RE = r"(?i)^(utm_[^=&]*|gclid|fbclid|ref)(=|$)"
 
 
 def normalize_url(url) -> Column:
@@ -41,13 +44,18 @@ def normalize_url(url) -> Column:
     u = F.regexp_replace(url, r"#.*$", "")  # fragment never survives
     scheme = F.lower(F.regexp_extract(u, _SCHEME_RE, 1))
     rest = F.regexp_replace(u, _SCHEME_RE, "")
-    hostport = F.regexp_extract(rest, r"^([^/?]*)", 1)
+    authority = F.regexp_extract(rest, r"^([^/?]*)", 1)
+    # userinfo (anything up to the last '@') is case-sensitive — pass it
+    # through untouched; only the host proper is lowercased
+    userinfo = F.regexp_extract(authority, r"^(.*@)", 1)
+    hostport = F.regexp_replace(authority, r"^.*@", "")
     host = F.lower(F.regexp_replace(hostport, r":\d*$", ""))
     port = F.regexp_extract(hostport, r":(\d+)$", 1)
     default_port = ((scheme == F.lit("https")) & (port == F.lit("443"))) | (
         (scheme == F.lit("http")) & (port == F.lit("80"))
     )
     canon_host = F.concat(
+        userinfo,
         host,
         F.when((port != F.lit("")) & ~default_port, F.concat(F.lit(":"), port)).otherwise(
             F.lit("")

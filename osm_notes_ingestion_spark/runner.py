@@ -268,12 +268,24 @@ def main(argv: list[str] | None = None) -> None:
         # recompute is pytest-pinned)
         from .operators.components import incremental_cluster_labels
 
-        pairs_by_batch = spark.read.option("basePath", f"{store}/pairs").parquet(
-            f"{store}/pairs"
-        )
-        batch_ids = sorted(
-            r.batch_id for r in pairs_by_batch.select("batch_id").distinct().collect()
-        )
+        # a stream that settled ZERO batches (empty source dir, skipped
+        # staging on a future --resume) never creates {store}/pairs — a
+        # bare read would raise PATH_NOT_FOUND, while the labels-is-None
+        # handling below shows the zero-batch case is meant to work.
+        # Same fs.exists guard _store applies to every other store read.
+        from .streaming.dedup import _fs_and_path
+
+        fs, pairs_path = _fs_and_path(spark, f"{store}/pairs")
+        if fs.exists(pairs_path):
+            pairs_by_batch = spark.read.option("basePath", f"{store}/pairs").parquet(
+                f"{store}/pairs"
+            )
+            batch_ids = sorted(
+                r.batch_id
+                for r in pairs_by_batch.select("batch_id").distinct().collect()
+            )
+        else:
+            batch_ids = []
         labels = None
         for bid in batch_ids:
             bpairs = pairs_by_batch.where(F.col("batch_id") == bid).drop("batch_id")

@@ -375,7 +375,12 @@ def process_dedup_batch(
     )
     all_sets = new_sets.unionByName(old_sets)
     verified = jaccard_filter_sets(cands, all_sets, id_col=id_col, threshold=threshold)
-    if hot_band_cap is not None:
+    # audit only when the batch actually HAS over-cap groups: hot is
+    # persisted and tiny, so isEmpty() is one cheap job, while the
+    # audit below is a full extra join+count action on the streaming
+    # hot path — a quiet batch (cap set as protection, no hot families)
+    # must not pay it every 15 minutes forever (review finding)
+    if hot_band_cap is not None and not hot.isEmpty():
         # The star/bridge cap assumes over-cap band groups are exact-dup
         # families (their edges trivially pass verification). A BRIDGE
         # edge rejected by Jaccard means that assumption was violated —

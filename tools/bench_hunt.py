@@ -34,28 +34,17 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 from bench import QUIET_STEAL_PCT, membw_gbps  # noqa: E402 — shared probe + threshold
+from tools import huntlock  # noqa: E402
 
 LOCK = "/tmp/bench_hunt.lock"
 # A sibling scaling_hunt holds this one while IT runs Spark work; two
-# concurrent hunts contaminate each other's measurements.
+# concurrent hunts contaminate each other's measurements (observed:
+# both sessions ~7% run steal, and the first finisher's cleanup removed
+# the lock out from under the second, crashing it). The acquisition
+# protocol — atomic own-lock-then-peer-check, held across the probes
+# too, with stale-pid clearing — lives in tools/huntlock.py.
 PEER_LOCKS = ("/tmp/scaling_hunt.lock",)
 LOG = os.path.join(REPO, "BENCH", "bench_sessions.jsonl")
-
-
-def hunt_in_progress() -> str | None:
-    """Path of any live hunt lock (ours or a peer's), else None.
-
-    Both hunts are advisory-locked but historically only WROTE the lock
-    without checking it — two hunts launched from different sessions ran
-    their Spark jobs concurrently (observed: both sessions ~7% run
-    steal, and the first finisher's cleanup removed the lock out from
-    under the second, crashing it). Checking before running closes both
-    failure modes.
-    """
-    for p in (LOCK, *PEER_LOCKS):
-        if os.path.exists(p):
-            return p
-    return None
 
 
 def steal_pct(window_s: float = 3.0) -> float:
@@ -135,40 +124,45 @@ def main() -> None:
         ]
         return min(vals) if vals else None
 
-    best = None
-    for i in range(rounds):
-        held = hunt_in_progress()
-        if held is not None:
-            print(f"probe {i}: {held} held by another hunt — skipping window", flush=True)
-            time.sleep(sleep_s)
-            continue
+    def window(i: int) -> tuple[dict, float, float] | None:
+        """One locked probe+bench window: (bench record, probe steal,
+        probe membw), or None when the window was skipped or the bench
+        produced nothing. Runs with the lock HELD (the caller's finally
+        releases it) so a peer can't start Spark work mid-probe."""
         s = steal_pct()
         if s > max_steal:
             print(f"probe {i}: steal {s:.2f}% > {max_steal}% — skipping window", flush=True)
-            time.sleep(sleep_s)
-            continue
+            return None
         bw = membw_gbps()
         if bw < min_membw:
             print(
                 f"probe {i}: steal {s:.2f}% but membw {bw:.1f} < {min_membw} GB/s — skipping window",
                 flush=True,
             )
-            time.sleep(sleep_s)
-            continue
+            return None
         print(f"probe {i}: steal {s:.2f}%, membw {bw:.1f} GB/s — running bench", flush=True)
-        open(LOCK, "w").write("bench\n")
-        try:
-            rec = run_bench()
-        finally:
-            # tolerate a vanished lock (e.g. an operator cleaned /tmp)
-            # rather than crashing after a completed bench run
-            try:
-                os.remove(LOCK)
-            except FileNotFoundError:
-                pass
-        if rec is None:
+        rec = run_bench()
+        return None if rec is None else (rec, s, bw)
+
+    best = None
+    for i in range(rounds):
+        # acquire BEFORE the steal/membw probes: the probes take ~5-8 s,
+        # and a peer hunt starting Spark work inside that window both
+        # invalidates the probe and recreates the double-hunt collision
+        # (review finding: the old exists()-check ran seconds before the
+        # lock write, so two hunts could still start concurrently)
+        if not huntlock.acquire(LOCK, PEER_LOCKS, "bench"):
+            print(f"probe {i}: another hunt holds a lock — skipping window", flush=True)
             time.sleep(sleep_s)
             continue
+        try:
+            out = window(i)
+        finally:
+            huntlock.release(LOCK)
+        if out is None:
+            time.sleep(sleep_s)
+            continue
+        rec, s, bw = out
         rec["probe_steal_pct"] = round(s, 3)
         rec["probe_membw_gbps"] = round(bw, 2)
         rec["captured_unix"] = int(time.time())

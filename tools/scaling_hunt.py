@@ -29,20 +29,14 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from tools import scaling_bench as sb  # noqa: E402
+from tools import huntlock, scaling_bench as sb  # noqa: E402
 
 LOCK = "/tmp/scaling_hunt.lock"
 # bench_hunt holds this one while IT runs Spark work; skip such windows
-# instead of contending (see bench_hunt.hunt_in_progress for the
-# observed two-hunt collision this prevents).
+# instead of contending (observed two-hunt collision: both sessions at
+# ~7% run steal). Acquisition protocol — atomic own-lock-then-peer-check
+# with stale-pid clearing — lives in tools/huntlock.py.
 PEER_LOCKS = ("/tmp/bench_hunt.lock",)
-
-
-def _remove_lock() -> None:
-    try:
-        os.remove(LOCK)
-    except FileNotFoundError:
-        pass
 
 
 def main() -> None:
@@ -54,12 +48,13 @@ def main() -> None:
     pages_path = os.environ.get("SPARK_GRAFT_PAGES_PATH", "/tmp/scaling_pages")
 
     best = None
-    for i in range(rounds):
-        busy = next((p for p in (LOCK, *PEER_LOCKS) if os.path.exists(p)), None)
-        if busy is not None:
-            print(f"probe {i}: {busy} held by another hunt — skipping window", flush=True)
-            time.sleep(sleep_s)
-            continue
+
+    def window(i: int) -> bool:
+        """One locked probe/session window; True = clean session
+        captured, stop hunting. Runs with the lock HELD (the caller's
+        finally releases it) so a peer can't start Spark work mid-probe
+        and contaminate the measurement."""
+        nonlocal best
         if min_membw:
             from bench import membw_gbps
 
@@ -69,41 +64,49 @@ def main() -> None:
                     f"probe {i}: membw {bw:.1f} < {min_membw} GB/s — skipping window",
                     flush=True,
                 )
-                time.sleep(sleep_s)
-                continue
-        open(LOCK, "w").write("probe\n")
+                return False
         try:
             r = sb.run_once(probe_cpus, pages_path)
         except Exception as exc:  # noqa: BLE001 — keep hunting on trial failure
             print(f"probe {i}: failed ({exc})", flush=True)
-            _remove_lock()
-            time.sleep(sleep_s)
-            continue
+            return False
         t8 = r["sec"]
         print(f"probe {i}: {probe_cpus}-core {t8:.1f}s (threshold {threshold})", flush=True)
         if best is None or t8 < best:
             best = t8
-        if t8 <= threshold:
-            print("quiet window — running full session", flush=True)
-            open(LOCK, "w").write("session\n")
-            sys.argv = [sys.argv[0]]  # no --report-only
-            sb.main()
-            _remove_lock()
-            import json
+        if t8 > threshold:
+            return False
+        print("quiet window — running full session", flush=True)
+        huntlock.retag(LOCK, "session")
+        sys.argv = [sys.argv[0]]  # no --report-only
+        sb.main()
+        import json
 
-            # stop only on a clean session captured by THIS run (the log
-            # may already hold a good historical session)
-            last = json.loads(
-                [line for line in open(sb.SESSIONS_LOG) if line.strip()][-1]
+        # stop only on a clean session captured by THIS run (the log
+        # may already hold a good historical session)
+        last = json.loads([line for line in open(sb.SESSIONS_LOG) if line.strip()][-1])
+        if last["scaling_efficiency_n_to_4n"] >= 0.8:
+            print(
+                f"captured clean session (eff {last['scaling_efficiency_n_to_4n']}); done",
+                flush=True,
             )
-            if last["scaling_efficiency_n_to_4n"] >= 0.8:
-                print(
-                    f"captured clean session (eff {last['scaling_efficiency_n_to_4n']}); done",
-                    flush=True,
-                )
+            return True
+        return False
+
+    for i in range(rounds):
+        if not huntlock.acquire(LOCK, PEER_LOCKS, "probe"):
+            print(f"probe {i}: another hunt holds a lock — skipping window", flush=True)
+            time.sleep(sleep_s)
+            continue
+        try:
+            # the lock is held for the whole window, INCLUDING the full
+            # session — a crash anywhere still releases it (review
+            # finding: sb.main() used to run outside any try/finally,
+            # and a leaked lock deadlocked both hunts' future windows)
+            if window(i):
                 return
-        else:
-            _remove_lock()
+        finally:
+            huntlock.release(LOCK)
         time.sleep(sleep_s)
     print(f"hunt exhausted; best 8-core probe {best}", flush=True)
 
