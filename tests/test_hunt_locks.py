@@ -76,6 +76,9 @@ def test_hunt_tools_share_the_protocol():
 
 
 def test_membw_probe_returns_plausible_bandwidth():
-    # tiny arrays — correctness of units, not a real bandwidth reading
-    bw = bench_hunt.membw_gbps(mb=8, reps=1)
-    assert 0.1 < bw < 1000.0
+    # tiny arrays — correctness of UNITS, not a real bandwidth reading.
+    # Bounds are deliberately loose: under a concurrently-running full
+    # suite (32 Spark threads) this probe can be starved well below any
+    # physical floor (observed <0.1 GB/s), and that must not flake here.
+    bw = bench_hunt.membw_gbps(mb=8, reps=3)
+    assert 0.001 < bw < 10000.0
