@@ -440,10 +440,58 @@ def lang_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
     return scored.select(F.col(id_col), guess.alias("lang_guess"))
 
 
+def ngram_array(text_col_expr, k: int = 2):
+    """ALL word k-grams of a text column, duplicates kept, document
+    order — the repetition-signal carrier (shingle_array is the
+    DISTINCT twin used for set similarity)."""
+    toks = F.split(text_col_expr, " ")
+    n = F.size(toks)
+    return F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(1), n - (k - 1)),
+            lambda i: F.array_join(F.slice(toks, i, k), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def _max_multiplicity(arr):
+    """Max element multiplicity of a string array as one JVM fold: sort,
+    then track the longest run of equal adjacent values — per-row
+    O(n log n), no explode/groupBy shuffle."""
+    acc0 = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("best"),
+    )
+
+    def step(acc, x):
+        run = F.when(x.eqNullSafe(acc["prev"]), acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"), run.alias("run"), F.greatest(acc["best"], run).alias("best")
+        )
+
+    return F.aggregate(F.array_sort(arr), acc0, step, lambda acc: acc["best"])
+
+
 def quality_features(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """→ (id, n_chars, n_tokens, n_distinct_tokens, uniq_pct, est_bpe_tokens)
-    — integer-valued quality features (length/uniqueness ratios)."""
+    """→ (id, n_chars, n_tokens, n_distinct_tokens, uniq_pct,
+    est_bpe_tokens, top_2gram_pct, dup_3gram_pct) — integer-valued
+    quality features.
+
+    The last two are the Gopher-style repetition filters (Rae et al.
+    2021 §A1.1) a training-data pipeline cuts boilerplate with:
+    top_2gram_pct = share of word-2-grams taken by the single most
+    frequent 2-gram; dup_3gram_pct = share of word-3-grams that are
+    repeats of an earlier one. Both are pure per-row JVM folds
+    (_max_multiplicity / array_distinct) — no shuffle, no Python — and
+    integer-floored so the DuckDB oracle (SQL_QUALITY) matches exactly.
+    Documents too short to form an n-gram score 0 (nothing to repeat)."""
     toks = F.split(F.col(text_col), " ")
+    g2 = ngram_array(F.col(text_col), 2)
+    g3 = ngram_array(F.col(text_col), 3)
+    n2 = F.size(g2)
+    n3 = F.size(g3)
     return df.select(
         F.col(id_col),
         F.length(text_col).cast("long").alias("n_chars"),
@@ -451,6 +499,14 @@ def quality_features(df: DataFrame, id_col: str = "doc_id", text_col: str = "tex
         F.size(F.array_distinct(toks)).cast("long").alias("n_distinct_tokens"),
         F.floor(F.size(F.array_distinct(toks)) * 100 / F.size(toks)).cast("long").alias("uniq_pct"),
         F.ceil(F.length(text_col) / 4.0).cast("long").alias("est_bpe_tokens"),
+        F.when(n2 > 0, F.floor(_max_multiplicity(g2) * 100 / n2))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("top_2gram_pct"),
+        F.when(n3 > 0, F.floor((n3 - F.size(F.array_distinct(g3))) * 100 / n3))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("dup_3gram_pct"),
     )
 
 

@@ -397,13 +397,31 @@ def q_quality(spark, sf_dir):
     return quality_features(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
-SQL_QUALITY = """SELECT doc_id,
+SQL_QUALITY = """WITH t AS (
+  SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents
+), g AS (
+  SELECT doc_id, text, toks,
+    CASE WHEN len(toks) >= 2
+         THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+         ELSE CAST([] AS VARCHAR[]) END AS g2,
+    CASE WHEN len(toks) >= 3
+         THEN list_transform(range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+         ELSE CAST([] AS VARCHAR[]) END AS g3
+  FROM t
+)
+SELECT doc_id,
   CAST(length(text) AS BIGINT) AS n_chars,
-  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct_tokens,
-  CAST(floor(len(list_distinct(string_split(text, ' '))) * 100 / len(string_split(text, ' '))) AS BIGINT) AS uniq_pct,
-  CAST(ceil(length(text) / 4.0) AS BIGINT) AS est_bpe_tokens
-FROM documents"""
+  CAST(len(toks) AS BIGINT) AS n_tokens,
+  CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct_tokens,
+  CAST(floor(len(list_distinct(toks)) * 100 / len(toks)) AS BIGINT) AS uniq_pct,
+  CAST(ceil(length(text) / 4.0) AS BIGINT) AS est_bpe_tokens,
+  CAST(CASE WHEN len(g2) > 0
+       THEN floor(len(list_filter(g2, x -> x = list_aggr(g2, 'mode'))) * 100 / len(g2))
+       ELSE 0 END AS BIGINT) AS top_2gram_pct,
+  CAST(CASE WHEN len(g3) > 0
+       THEN floor((len(g3) - len(list_distinct(g3))) * 100 / len(g3))
+       ELSE 0 END AS BIGINT) AS dup_3gram_pct
+FROM g"""
 
 
 def q_token_percentiles(spark, sf_dir):

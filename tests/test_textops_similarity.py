@@ -608,3 +608,39 @@ def test_hot_band_cap_preserves_cluster_labels(spark):
     assert fam1_clusters == {1000} and fam2_clusters == {2000}
     for df in (sets, bands):
         df.unpersist(blocking=False)
+
+
+def test_quality_repetition_signals(spark):
+    """top_2gram_pct / dup_3gram_pct (Gopher-style repetition filters)
+    against hand-computed values, including the degenerate shapes: empty
+    text, below-n-gram-length docs, an all-identical-token doc (max
+    repetition), and a fully distinct doc (zero repetition)."""
+    from osm_notes_ingestion_spark.operators.textops import quality_features
+
+    def expected(text):
+        toks = text.split(" ")
+        g2 = [" ".join(toks[i : i + 2]) for i in range(len(toks) - 1)]
+        g3 = [" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)]
+        top2 = (
+            (max(g2.count(x) for x in set(g2)) * 100) // len(g2) if g2 else 0
+        )
+        dup3 = ((len(g3) - len(set(g3))) * 100) // len(g3) if g3 else 0
+        return top2, dup3
+
+    docs = [
+        (0, ""),  # one empty token after split
+        (1, "solo"),
+        (2, "two tokens"),  # one 2-gram, no 3-gram
+        (3, "a a a a a a"),  # all-same: top2 = 100, dup3 = 100*(4-1)//4
+        (4, "a b c d e f"),  # fully distinct: both 0
+        (5, "x y x y x y x"),  # alternating: 'x y' count 3 of 6 2-grams
+        (6, "p q r p q r p q r"),  # repeated phrase
+    ]
+    out = {
+        r["doc_id"]: (r["top_2gram_pct"], r["dup_3gram_pct"])
+        for r in quality_features(
+            spark.createDataFrame(docs, "doc_id long, text string")
+        ).collect()
+    }
+    for doc_id, text in docs:
+        assert out[doc_id] == expected(text), (doc_id, text)
