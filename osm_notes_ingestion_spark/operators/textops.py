@@ -474,10 +474,16 @@ def _max_multiplicity(arr):
     return F.aggregate(F.array_sort(arr), acc0, step, lambda acc: acc["best"])
 
 
+# Fixed vocabularies for the quality ratio features — tiny and
+# deterministic so the DuckDB oracle can restate them verbatim.
+_PUNCT = ".,;:!?'\"()-"
+_STOPWORDS = ("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+
+
 def quality_features(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """→ (id, n_chars, n_tokens, n_distinct_tokens, uniq_pct,
-    est_bpe_tokens, top_2gram_pct, dup_3gram_pct) — integer-valued
-    quality features.
+    est_bpe_tokens, top_2gram_pct, dup_3gram_pct, punct_pct,
+    stopword_pct) — integer-valued quality features.
 
     The last two are the Gopher-style repetition filters (Rae et al.
     2021 §A1.1) a training-data pipeline cuts boilerplate with:
@@ -507,6 +513,84 @@ def quality_features(df: DataFrame, id_col: str = "doc_id", text_col: str = "tex
         .otherwise(F.lit(0))
         .cast("long")
         .alias("dup_3gram_pct"),
+        # length/punct/stopword ratios (C4/CCNet-style quality cuts):
+        # punct_pct via translate-strip (one JVM pass, no explode);
+        # stopword_pct via a filter fold over the token array. Both
+        # integer-floored for exact cross-engine parity.
+        F.when(
+            F.length(text_col) > 0,
+            F.floor(
+                (F.length(text_col) - F.length(F.translate(F.col(text_col), _PUNCT, "")))
+                * 100
+                / F.length(text_col)
+            ),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("punct_pct"),
+        F.floor(
+            F.size(F.filter(toks, lambda t: t.isin(*_STOPWORDS))) * 100 / F.size(toks)
+        )
+        .cast("long")
+        .alias("stopword_pct"),
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination (the GPT-3-appendix-C / PaLM / Llama
+    style n-gram-overlap check a training pipeline runs before training):
+    per training document, count how many of its DISTINCT word n-grams
+    also occur anywhere in an evaluation benchmark, so contaminated rows
+    can be dropped or flagged.
+
+    → (id_col, n_doc_ngrams, contam_ngrams, contaminated) — all
+    deterministic integer columns, so the check has an exact SQL oracle.
+
+    Scale shape (100 TB corpus vs a fixed eval suite): the benchmark
+    n-gram set is tiny relative to the corpus (~10^6-10^8 grams vs ~10^12
+    docs), so it is md5-hashed, dedup'd and BROADCAST; the corpus side
+    explodes distinct per-doc n-grams map-side into that broadcast hash
+    join, and the only shuffled rows are the MATCHED (doc, gram) hits
+    (map-side-combined into per-doc counts). Contamination is rare by
+    construction, so the hit-count table is broadcast back onto the
+    per-row totals — the corpus scan itself stays shuffle-free end to
+    end. Reference analog: the Planet-vs-API reconciliation diff
+    (sql/monitor/processCheckPlanetNotes_31_loadCheckNotes.sql) — flag
+    rows of one corpus by content intersection with another.
+    """
+    grams = F.array_distinct(ngram_array(F.col(text_col), n))
+    bench_hashes = (
+        benchmark.select(
+            F.explode(F.array_distinct(ngram_array(F.col(bench_text_col), n))).alias("g")
+        )
+        .select(F.md5(F.encode("g", "UTF-8")).alias("h"))
+        .distinct()
+    )
+    doc_grams = docs.select(F.col(id_col), F.explode(grams).alias("g")).select(
+        F.col(id_col), F.md5(F.encode("g", "UTF-8")).alias("h")
+    )
+    hits = (
+        doc_grams.join(F.broadcast(bench_hashes), "h")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("contam_ngrams"))
+    )
+    totals = docs.select(F.col(id_col), F.size(grams).cast("long").alias("n_doc_ngrams"))
+    return (
+        totals.join(F.broadcast(hits), id_col, "left")
+        .na.fill({"contam_ngrams": 0})
+        .select(
+            F.col(id_col),
+            "n_doc_ngrams",
+            F.col("contam_ngrams").cast("long").alias("contam_ngrams"),
+            (F.col("contam_ngrams") > 0).cast("int").alias("contaminated"),
+        )
     )
 
 

@@ -394,7 +394,20 @@ SQL_LANG_ID = _sql_lang_id()
 
 
 def q_quality(spark, sf_dir):
-    return quality_features(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    """Quality gate, TWO legs folded (driver 50-cap, strict superset):
+    the per-doc quality/repetition features, plus benchmark
+    DECONTAMINATION columns (textops.decontaminate) — the synthetic
+    'eval suite' is every doc with doc_id % 37 == 0, reconstructible in
+    SQL, so the oracle derives the benchmark n-gram set independently.
+    Bench docs are fully self-contaminated by construction
+    (contam_ngrams == n_doc_ngrams) and natural 5-gram overlap between
+    the synthetic docs exercises the partial-overlap path."""
+    from ..operators.textops import decontaminate
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    qf = quality_features(docs)
+    bench = docs.where(F.col("doc_id") % 37 == 0)
+    return qf.join(decontaminate(docs, bench, n=5), "doc_id")
 
 
 SQL_QUALITY = """WITH t AS (
@@ -406,8 +419,18 @@ SQL_QUALITY = """WITH t AS (
          ELSE CAST([] AS VARCHAR[]) END AS g2,
     CASE WHEN len(toks) >= 3
          THEN list_transform(range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
-         ELSE CAST([] AS VARCHAR[]) END AS g3
+         ELSE CAST([] AS VARCHAR[]) END AS g3,
+    CASE WHEN len(toks) >= 5
+         THEN list_distinct(list_transform(range(1, len(toks) - 3),
+              i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4]))
+         ELSE CAST([] AS VARCHAR[]) END AS g5
   FROM t
+), bg AS (
+  SELECT DISTINCT unnest(g5) AS gram FROM g WHERE doc_id % 37 = 0
+), hits AS (
+  SELECT dg.doc_id, count(*) AS contam_ngrams
+  FROM (SELECT doc_id, unnest(g5) AS gram FROM g) dg JOIN bg USING (gram)
+  GROUP BY 1
 )
 SELECT doc_id,
   CAST(length(text) AS BIGINT) AS n_chars,
@@ -420,8 +443,15 @@ SELECT doc_id,
        ELSE 0 END AS BIGINT) AS top_2gram_pct,
   CAST(CASE WHEN len(g3) > 0
        THEN floor((len(g3) - len(list_distinct(g3))) * 100 / len(g3))
-       ELSE 0 END AS BIGINT) AS dup_3gram_pct
-FROM g"""
+       ELSE 0 END AS BIGINT) AS dup_3gram_pct,
+  CAST(CASE WHEN length(text) > 0
+       THEN floor((length(text) - length(translate(text, '.,;:!?''"()-', ''))) * 100 / length(text))
+       ELSE 0 END AS BIGINT) AS punct_pct,
+  CAST(floor(len(list_filter(toks, t -> list_contains(['the','a','an','and','or','of','to','in','is','it'], t))) * 100 / len(toks)) AS BIGINT) AS stopword_pct,
+  CAST(len(g5) AS BIGINT) AS n_doc_ngrams,
+  CAST(COALESCE(h.contam_ngrams, 0) AS BIGINT) AS contam_ngrams,
+  CAST(CASE WHEN COALESCE(h.contam_ngrams, 0) > 0 THEN 1 ELSE 0 END AS INTEGER) AS contaminated
+FROM g LEFT JOIN hits h USING (doc_id)"""
 
 
 def q_token_percentiles(spark, sf_dir):

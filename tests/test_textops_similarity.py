@@ -644,3 +644,54 @@ def test_quality_repetition_signals(spark):
     }
     for doc_id, text in docs:
         assert out[doc_id] == expected(text), (doc_id, text)
+
+
+def test_decontaminate_planted_overlap(spark):
+    """Planted benchmark overlap: doc 10 IS the benchmark row (full
+    self-contamination), doc 11 shares exactly one 5-gram window with
+    it, doc 12 shares none, doc 13 is too short to form a 5-gram."""
+    from osm_notes_ingestion_spark.operators.textops import decontaminate
+
+    docs = spark.createDataFrame(
+        [
+            (10, "the quick brown fox jumps over the lazy dog"),
+            (11, "intro words then the quick brown fox jumps again after"),
+            (12, "completely different content with no shared windows here"),
+            (13, "too short"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = docs.where(F.col("doc_id") == 10)
+    out = {
+        r["doc_id"]: (r["n_doc_ngrams"], r["contam_ngrams"], r["contaminated"])
+        for r in decontaminate(docs, bench, n=5).collect()
+    }
+    # doc 10: 5 distinct 5-grams, all self-contaminated
+    assert out[10] == (5, 5, 1)
+    # doc 11: 'the quick brown fox jumps' is its only benchmark 5-gram
+    assert out[11] == (6, 1, 1)
+    assert out[12] == (4, 0, 0)
+    assert out[13] == (0, 0, 0)
+
+
+def test_quality_ratio_features(spark):
+    """punct_pct / stopword_pct against hand-computed values."""
+    from osm_notes_ingestion_spark.operators.textops import quality_features
+
+    docs = [
+        (0, "the cat sat on the mat"),  # 2/6 stopwords ('the' x2), 0 punct
+        (1, "hello, world! it is fine."),  # 'it','is' = 2/5 toks; punct , ! . = 3/25 chars
+        (2, ""),  # empty: 0/0-safe
+        (3, "no-stop words here: dashes - count"),  # punct: - x3 + : = 4
+    ]
+    out = {
+        r["doc_id"]: (r["punct_pct"], r["stopword_pct"])
+        for r in quality_features(
+            spark.createDataFrame(docs, "doc_id long, text string")
+        ).collect()
+    }
+    assert out[0] == ((0 * 100) // 22, (2 * 100) // 6)
+    assert out[1] == ((3 * 100) // 25, (2 * 100) // 5)
+    assert out[2] == (0, 0)
+    n3 = len(docs[3][1])  # punct: '-' in no-stop, ':', standalone '-'
+    assert out[3] == ((3 * 100) // n3, (0 * 100) // 6)
