@@ -536,6 +536,72 @@ def quality_features(df: DataFrame, id_col: str = "doc_id", text_col: str = "tex
     )
 
 
+def word_chunks(text_col_expr, k: int = 10):
+    """Fixed-size word chunks of a text column as ONE array expression —
+    the 'paragraph' splitter for corpora whose documents are single
+    lines (the synthetic tables here). Real pipelines pass
+    F.split(text, '\\n\\n') instead; paragraph_dedup is agnostic."""
+    toks = F.split(text_col_expr, " ")
+    nchunks = F.ceil(F.size(toks) / F.lit(float(k))).cast("int")
+    return F.transform(
+        F.sequence(F.lit(0), nchunks - 1),
+        lambda i: F.array_join(F.slice(toks, i * k + 1, k), " "),
+    )
+
+
+def paragraph_dedup(
+    df: DataFrame, paras_col, id_col: str = "doc_id"
+) -> DataFrame:
+    """CCNet-style paragraph-hash dedup: across the whole corpus, keep
+    only the FIRST occurrence of each distinct paragraph (global order =
+    (doc_id, position)) and reassemble each document from its kept
+    paragraphs. This is the line-grain dedup a training pipeline runs to
+    strip boilerplate (cookie banners, nav text) that exact/near doc
+    dedup can't touch.
+
+    `paras_col` is any array<string> Column (word_chunks(...) here;
+    F.split(text, '\\n\\n') on real corpora).
+
+    → (id_col, n_paras, n_kept, kept_text) — kept_text preserves the
+    original paragraph order, '' when everything was dropped.
+
+    Scale shape: the first-occurrence winner per paragraph hash is a
+    min-STRUCT AGGREGATE (map-side combinable), NOT a row_number window
+    — a boilerplate paragraph appearing in 10^9 docs partially folds
+    inside every input partition instead of routing all copies through
+    one window task; the join back on the hash is a plain equi-join
+    (AQE skew-split handles the same hot keys). Reassembly groups by
+    doc — collect_list of (pos, para) structs, array_sort, array_join —
+    one shuffle at document grain. Reference analog: the sync-table
+    set-difference dedup (sql/process/processPlanetNotes_43_*) applied
+    at sub-document grain."""
+    p = df.select(F.col(id_col), F.posexplode(paras_col).alias("pos", "para")).withColumn(
+        "h", F.md5(F.encode("para", "UTF-8"))
+    )
+    firsts = p.groupBy("h").agg(
+        F.min(F.struct(F.col(id_col).alias("i"), F.col("pos").alias("p"))).alias("first")
+    )
+    kept = p.join(firsts, "h").withColumn(
+        "keep",
+        (F.col(id_col) == F.col("first.i")) & (F.col("pos") == F.col("first.p")),
+    )
+    return kept.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_paras"),
+        F.sum(F.col("keep").cast("long")).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("keep"), F.struct(F.col("pos"), F.col("para")))
+                    )
+                ),
+                lambda x: x["para"],
+            ),
+            " ",
+        ).alias("kept_text"),
+    )
+
+
 def decontaminate(
     docs: DataFrame,
     benchmark: DataFrame,

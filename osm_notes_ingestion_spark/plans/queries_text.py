@@ -479,15 +479,66 @@ FROM documents GROUP BY lang, source"""
 
 
 def q_fingerprint(spark, sf_dir):
-    return fingerprint(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    """Fingerprint gate, TWO legs folded (driver 50-cap, strict
+    superset): the winnowing-lite min-hash, plus CCNet-style
+    PARAGRAPH-level dedup columns (textops.paragraph_dedup) over a
+    deterministically multi-paragraph corpus — each doc's paragraph
+    list = 10-word chunks of its own text ++ the chunks of doc
+    (doc_id % 11), so every doc carries planted cross-doc duplicate
+    paragraphs (and docs 0..10, where doc_id % 11 == doc_id, carry
+    SELF-duplicates, exercising the within-doc first-wins path). The
+    oracle recomputes the first-occurrence winners independently with
+    a row_number window, vs the engine's skew-safe min-struct
+    aggregate."""
+    from ..operators.textops import paragraph_dedup, word_chunks
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    other = docs.select(F.col("doc_id").alias("_k"), F.col("text").alias("_t2"))
+    withp = docs.join(other, docs["doc_id"] % 11 == other["_k"]).select(
+        "doc_id",
+        F.concat(word_chunks(F.col("text")), word_chunks(F.col("_t2"))).alias("paras"),
+    )
+    pd = paragraph_dedup(withp, F.col("paras")).select(
+        "doc_id",
+        "n_paras",
+        "n_kept",
+        F.md5(F.encode("kept_text", "UTF-8")).alias("kept_md5"),
+    )
+    return fingerprint(docs).join(pd, "doc_id")
 
 
-SQL_FINGERPRINT = """WITH grams AS (
+_SQL_CHUNKS = (
+    "list_transform(range(0, CAST(ceil(len({tk}) / 10.0) AS BIGINT)), "
+    "i -> array_to_string({tk}[i*10+1 : i*10+10], ' '))"
+)
+
+SQL_FINGERPRINT = f"""WITH grams AS (
   SELECT doc_id, substr(text, i, 8) AS g
   FROM documents, LATERAL unnest(range(1, greatest(length(text) - 6, 2))) t(i)
+), fp AS (
+  SELECT doc_id, min(('0x' || substr(md5(g), 1, 15))::BIGINT) AS fingerprint
+  FROM grams GROUP BY 1
+), wp AS (
+  SELECT a.doc_id,
+         list_concat({_SQL_CHUNKS.format(tk="string_split(a.text, ' ')")},
+                     {_SQL_CHUNKS.format(tk="string_split(b.text, ' ')")}) AS ps
+  FROM documents a JOIN documents b ON b.doc_id = a.doc_id % 11
+), paras AS (
+  SELECT doc_id, i - 1 AS pos, ps[i] AS para
+  FROM wp, LATERAL unnest(range(1, len(ps) + 1)) r(i)
+), ranked AS (
+  SELECT doc_id, pos, para,
+         row_number() OVER (PARTITION BY para ORDER BY doc_id, pos) AS rn
+  FROM paras
+), pd AS (
+  SELECT doc_id, count(*) AS n_paras,
+         sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS n_kept,
+         md5(COALESCE(string_agg(CASE WHEN rn = 1 THEN para END, ' ' ORDER BY pos), '')) AS kept_md5
+  FROM ranked GROUP BY 1
 )
-SELECT doc_id, min(('0x' || substr(md5(g), 1, 15))::BIGINT) AS fingerprint
-FROM grams GROUP BY 1"""
+SELECT fp.doc_id, fp.fingerprint, CAST(pd.n_paras AS BIGINT) AS n_paras,
+       CAST(pd.n_kept AS BIGINT) AS n_kept, pd.kept_md5
+FROM fp JOIN pd USING (doc_id)"""
 
 
 # ------------------------------------------------------------- embeddings

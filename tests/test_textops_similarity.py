@@ -695,3 +695,37 @@ def test_quality_ratio_features(spark):
     assert out[2] == (0, 0)
     n3 = len(docs[3][1])  # punct: '-' in no-stop, ':', standalone '-'
     assert out[3] == ((3 * 100) // n3, (0 * 100) // 6)
+
+
+def test_paragraph_dedup_first_occurrence_wins(spark):
+    """Global first-occurrence (doc_id, pos) keeps the paragraph; all
+    later copies — later docs OR later positions in the same doc — drop."""
+    from osm_notes_ingestion_spark.operators.textops import paragraph_dedup
+
+    rows = [
+        (1, ["alpha", "beta", "alpha"]),  # self-dup: pos-2 alpha drops
+        (2, ["beta", "gamma"]),  # beta seen in doc 1 → drops
+        (3, ["delta"]),  # unique, all kept
+    ]
+    out = {
+        r["doc_id"]: (r["n_paras"], r["n_kept"], r["kept_text"])
+        for r in paragraph_dedup(
+            spark.createDataFrame(rows, "doc_id long, paras array<string>"),
+            F.col("paras"),
+        ).collect()
+    }
+    assert out[1] == (3, 2, "alpha beta")
+    assert out[2] == (2, 1, "gamma")
+    assert out[3] == (1, 1, "delta")
+
+
+def test_word_chunks_shapes(spark):
+    from osm_notes_ingestion_spark.operators.textops import word_chunks
+
+    df = spark.range(1).select(
+        word_chunks(F.lit("a b c d e f g h i j k l"), k=5).alias("c"),
+        word_chunks(F.lit(""), k=5).alias("e"),
+    )
+    row = df.collect()[0]
+    assert row["c"] == ["a b c d e", "f g h i j", "k l"]
+    assert row["e"] == [""]
