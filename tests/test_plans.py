@@ -234,3 +234,42 @@ def test_array_minhash_bands_have_no_exchange(spark):
     bands = minhash_band_signatures_sets(doc_shingle_sets(docs))
     plan = bands._jdf.queryExecution().executedPlan().toString()
     assert re.findall(r"Exchange (\w+)", plan) == []
+
+
+def test_decontaminate_benchmark_side_is_broadcast(spark):
+    """The eval-suite n-gram hash set must reach the corpus side as a
+    BroadcastHashJoin (the corpus scan stays shuffle-free up to the
+    matched-rows partial count); the hit-count table broadcasts back
+    onto the per-row totals."""
+    from osm_notes_ingestion_spark.operators.textops import decontaminate
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon zeta") for i in range(20)],
+        "doc_id long, text string",
+    )
+    bench = docs.where(F.col("doc_id") % 7 == 0)
+    plan = (
+        decontaminate(docs, bench, n=5)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_paragraph_dedup_winner_is_aggregate_not_window(spark):
+    """The per-paragraph first-occurrence winner must be a hash
+    AGGREGATE with a partial (map-side) phase — NOT a row_number
+    window, whose hot-key partition would serialize a 10^9-copy
+    boilerplate paragraph through one task."""
+    from osm_notes_ingestion_spark.operators.textops import paragraph_dedup, word_chunks
+
+    docs = spark.createDataFrame(
+        [(i, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12") for i in range(20)],
+        "doc_id long, text string",
+    )
+    pd = paragraph_dedup(
+        docs.select("doc_id", word_chunks(F.col("text")).alias("paras")), F.col("paras")
+    )
+    plan = pd._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, plan
+    # winner agg shows up as partial_min over the (id,pos) struct
+    assert "partial_min" in plan or "min(" in plan, plan

@@ -729,3 +729,22 @@ def test_word_chunks_shapes(spark):
     row = df.collect()[0]
     assert row["c"] == ["a b c d e", "f g h i j", "k l"]
     assert row["e"] == [""]
+
+
+def test_paragraph_dedup_idempotent(spark):
+    """After one pass every surviving paragraph is globally unique, so a
+    second pass keeps everything (single-word paragraphs let kept_text
+    round-trip through split)."""
+    from osm_notes_ingestion_spark.operators.textops import paragraph_dedup
+
+    rows = [(i, [f"w{j % 7}" for j in range(i % 5 + 1)]) for i in range(1, 30)]
+    first = paragraph_dedup(
+        spark.createDataFrame(rows, "doc_id long, paras array<string>"), F.col("paras")
+    )
+    second = paragraph_dedup(
+        first.where(F.col("kept_text") != "").select(
+            "doc_id", F.split("kept_text", " ").alias("paras")
+        ),
+        F.col("paras"),
+    )
+    assert second.where(F.col("n_kept") != F.col("n_paras")).count() == 0
