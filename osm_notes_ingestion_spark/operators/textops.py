@@ -563,7 +563,10 @@ def paragraph_dedup(
     F.split(text, '\\n\\n') on real corpora).
 
     → (id_col, n_paras, n_kept, kept_text) — kept_text preserves the
-    original paragraph order, '' when everything was dropped.
+    original paragraph order, '' when everything was dropped. Docs
+    whose paragraph array is empty or NULL stay in the output as
+    (0, 0, '') — posexplode_OUTER keeps their row, so a downstream
+    inner join never silently loses a document.
 
     Scale shape: the first-occurrence winner per paragraph hash is a
     min-STRUCT AGGREGATE (map-side combinable), NOT a row_number window
@@ -575,18 +578,23 @@ def paragraph_dedup(
     one shuffle at document grain. Reference analog: the sync-table
     set-difference dedup (sql/process/processPlanetNotes_43_*) applied
     at sub-document grain."""
-    p = df.select(F.col(id_col), F.posexplode(paras_col).alias("pos", "para")).withColumn(
-        "h", F.md5(F.encode("para", "UTF-8"))
+    p = df.select(
+        F.col(id_col), F.posexplode_outer(paras_col).alias("pos", "para")
+    ).withColumn("h", F.md5(F.encode("para", "UTF-8")))
+    firsts = (
+        p.where(F.col("para").isNotNull())
+        .groupBy("h")
+        .agg(F.min(F.struct(F.col(id_col).alias("i"), F.col("pos").alias("p"))).alias("first"))
     )
-    firsts = p.groupBy("h").agg(
-        F.min(F.struct(F.col(id_col).alias("i"), F.col("pos").alias("p"))).alias("first")
-    )
-    kept = p.join(firsts, "h").withColumn(
+    kept = p.join(firsts, "h", "left").withColumn(
         "keep",
-        (F.col(id_col) == F.col("first.i")) & (F.col("pos") == F.col("first.p")),
+        F.coalesce(
+            (F.col(id_col) == F.col("first.i")) & (F.col("pos") == F.col("first.p")),
+            F.lit(False),
+        ),
     )
     return kept.groupBy(id_col).agg(
-        F.count("*").cast("long").alias("n_paras"),
+        F.count("para").cast("long").alias("n_paras"),
         F.sum(F.col("keep").cast("long")).alias("n_kept"),
         F.array_join(
             F.transform(
@@ -621,13 +629,13 @@ def decontaminate(
 
     Scale shape (100 TB corpus vs a fixed eval suite): the benchmark
     n-gram set is tiny relative to the corpus (~10^6-10^8 grams vs ~10^12
-    docs), so it is md5-hashed, dedup'd and BROADCAST; the corpus side
-    explodes distinct per-doc n-grams map-side into that broadcast hash
-    join, and the only shuffled rows are the MATCHED (doc, gram) hits
-    (map-side-combined into per-doc counts). Contamination is rare by
-    construction, so the hit-count table is broadcast back onto the
-    per-row totals — the corpus scan itself stays shuffle-free end to
-    end. Reference analog: the Planet-vs-API reconciliation diff
+    docs), so it is md5-hashed, dedup'd and BROADCAST; the corpus is
+    scanned ONCE — each doc explodes (explode_outer, so gram-less docs
+    survive) its distinct n-grams map-side into the broadcast hash
+    left-join, and the per-doc aggregate partially folds inside every
+    input partition (hit indicators sum, the per-row total rides along
+    as max), so the only shuffle is ~1 row per document. Reference
+    analog: the Planet-vs-API reconciliation diff
     (sql/monitor/processCheckPlanetNotes_31_loadCheckNotes.sql) — flag
     rows of one corpus by content intersection with another.
     """
@@ -638,19 +646,20 @@ def decontaminate(
         )
         .select(F.md5(F.encode("g", "UTF-8")).alias("h"))
         .distinct()
+        .withColumn("_hit", F.lit(1).cast("long"))
     )
-    doc_grams = docs.select(F.col(id_col), F.explode(grams).alias("g")).select(
-        F.col(id_col), F.md5(F.encode("g", "UTF-8")).alias("h")
-    )
-    hits = (
-        doc_grams.join(F.broadcast(bench_hashes), "h")
-        .groupBy(id_col)
-        .agg(F.count("*").alias("contam_ngrams"))
-    )
-    totals = docs.select(F.col(id_col), F.size(grams).cast("long").alias("n_doc_ngrams"))
+    exploded = docs.select(
+        F.col(id_col),
+        F.size(grams).cast("long").alias("_n"),
+        F.explode_outer(grams).alias("g"),
+    ).select(F.col(id_col), "_n", F.md5(F.encode("g", "UTF-8")).alias("h"))
     return (
-        totals.join(F.broadcast(hits), id_col, "left")
-        .na.fill({"contam_ngrams": 0})
+        exploded.join(F.broadcast(bench_hashes), "h", "left")
+        .groupBy(id_col)
+        .agg(
+            F.max("_n").alias("n_doc_ngrams"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("contam_ngrams"),
+        )
         .select(
             F.col(id_col),
             "n_doc_ngrams",

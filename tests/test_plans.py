@@ -238,9 +238,8 @@ def test_array_minhash_bands_have_no_exchange(spark):
 
 def test_decontaminate_benchmark_side_is_broadcast(spark):
     """The eval-suite n-gram hash set must reach the corpus side as a
-    BroadcastHashJoin (the corpus scan stays shuffle-free up to the
-    matched-rows partial count); the hit-count table broadcasts back
-    onto the per-row totals."""
+    BroadcastHashJoin (single corpus scan; the per-doc aggregate is the
+    only shuffle, map-side combined to ~1 row per doc)."""
     from osm_notes_ingestion_spark.operators.textops import decontaminate
 
     docs = spark.createDataFrame(
@@ -251,8 +250,10 @@ def test_decontaminate_benchmark_side_is_broadcast(spark):
     plan = (
         decontaminate(docs, bench, n=5)._jdf.queryExecution().executedPlan().toString()
     )
-    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert plan.count("BroadcastHashJoin") >= 1, plan
     assert "SortMergeJoin" not in plan, plan
+    # map-side partial agg present (the 1-row-per-doc shuffle guarantee)
+    assert "partial_sum" in plan or "partial" in plan.lower(), plan
 
 
 def test_paragraph_dedup_winner_is_aggregate_not_window(spark):

@@ -682,7 +682,7 @@ def test_quality_ratio_features(spark):
         (0, "the cat sat on the mat"),  # 2/6 stopwords ('the' x2), 0 punct
         (1, "hello, world! it is fine."),  # 'it','is' = 2/5 toks; punct , ! . = 3/25 chars
         (2, ""),  # empty: 0/0-safe
-        (3, "no-stop words here: dashes - count"),  # punct: - x3 + : = 4
+        (3, "no-stop words here: dashes - count"),  # punct: 2 dashes + ':' = 3
     ]
     out = {
         r["doc_id"]: (r["punct_pct"], r["stopword_pct"])
@@ -706,6 +706,8 @@ def test_paragraph_dedup_first_occurrence_wins(spark):
         (1, ["alpha", "beta", "alpha"]),  # self-dup: pos-2 alpha drops
         (2, ["beta", "gamma"]),  # beta seen in doc 1 → drops
         (3, ["delta"]),  # unique, all kept
+        (4, []),  # empty paragraph list survives as (0, 0, '')
+        (5, None),  # NULL list too (split(NULL) in real pipelines)
     ]
     out = {
         r["doc_id"]: (r["n_paras"], r["n_kept"], r["kept_text"])
@@ -717,6 +719,8 @@ def test_paragraph_dedup_first_occurrence_wins(spark):
     assert out[1] == (3, 2, "alpha beta")
     assert out[2] == (2, 1, "gamma")
     assert out[3] == (1, 1, "delta")
+    assert out[4] == (0, 0, "")
+    assert out[5] == (0, 0, "")
 
 
 def test_word_chunks_shapes(spark):
