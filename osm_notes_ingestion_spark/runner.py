@@ -37,7 +37,7 @@ def build_parser() -> argparse.ArgumentParser:
         required=True,
         choices=[
             "assign", "fused", "tiles", "knn", "knn_bulk", "incremental",
-            "dedup", "stream_dedup", "vectorize", "dwithin", "sessions",
+            "dedup", "stream_dedup", "vectorize", "dwithin", "sessions", "curate",
         ],
     )
     p.add_argument("--sf-dir", required=True)
@@ -60,6 +60,11 @@ def build_parser() -> argparse.ArgumentParser:
         help="parquet of (site_id, lat, lon) for --job dwithin",
     )
     p.add_argument("--radius-m", type=float, default=200000.0)
+    p.add_argument(
+        "--benchmark",
+        default=None,
+        help="parquet of (doc_id, text) eval docs for --job curate's decontamination stage",
+    )
     p.add_argument("--session-gap-s", type=int, default=3600)
     p.add_argument("--store-buckets", type=int, default=16)
     p.add_argument(
@@ -336,6 +341,34 @@ def main(argv: list[str] | None = None) -> None:
         res = session_stats(ev, args.session_gap_s)
         res.write.mode("overwrite").parquet(f"{args.output}/sessions")
         mlog.log_counters(run_id, "sessions", {"n_sessions": res.count()})
+    elif args.job == "curate":
+        # the full training-data funnel: exact dedup → paragraph dedup →
+        # quality filter → (optional) decontamination → near-dup
+        # canonicals; per-stage survivor counts land in the metrics log
+        from .operators.curate import curate_corpus
+
+        docs = spark.read.parquet(f"{args.sf_dir}/documents.parquet").select(
+            "doc_id", "text"
+        )
+        bench = (
+            spark.read.parquet(args.benchmark).select("doc_id", "text")
+            if args.benchmark
+            else None
+        )
+        stages = curate_corpus(docs, bench)
+        # persist each stage before counting so the funnel counts don't
+        # re-execute upstream stages; unpersist once the next stage is
+        # materialized on top of it
+        funnel, prev = {}, None
+        for name, df in stages.items():
+            df.persist()
+            funnel[f"n_{name}"] = df.count()
+            if prev is not None:
+                prev.unpersist(blocking=False)
+            prev = df
+        stages["curated"].write.mode("overwrite").parquet(f"{args.output}/curated")
+        prev.unpersist(blocking=False)
+        mlog.log_counters(run_id, "curate_funnel", funnel)
     elif args.job == "incremental":
         from .streaming.incremental import IncrementalRunner
 
