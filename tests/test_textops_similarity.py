@@ -752,3 +752,27 @@ def test_paragraph_dedup_idempotent(spark):
         F.col("paras"),
     )
     assert second.where(F.col("n_kept") != F.col("n_paras")).count() == 0
+
+
+def test_paragraph_dedup_conservation(spark):
+    """Conservation laws over a randomized-but-seeded corpus: total
+    kept paragraphs == number of DISTINCT paragraphs in the input, and
+    n_paras sums to the total input paragraphs."""
+    import random
+
+    from osm_notes_ingestion_spark.operators.textops import paragraph_dedup
+
+    rng = random.Random(42)
+    rows = [
+        (i, [f"p{rng.randrange(40)}" for _ in range(rng.randrange(1, 12))])
+        for i in range(200)
+    ]
+    out = paragraph_dedup(
+        spark.createDataFrame(rows, "doc_id long, paras array<string>"), F.col("paras")
+    )
+    agg = out.agg(F.sum("n_paras").alias("np"), F.sum("n_kept").alias("nk")).collect()[0]
+    n_total = sum(len(ps) for _, ps in rows)
+    n_distinct = len({p for _, ps in rows for p in ps})
+    assert agg["np"] == n_total
+    assert agg["nk"] == n_distinct
+    assert out.count() == 200
