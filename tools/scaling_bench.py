@@ -126,6 +126,21 @@ def _cpu_steal_pct() -> float:
         return -1.0
 
 
+def ensure_pages(pages_path: str) -> None:
+    """Materialize the fanned-out pages parquet if it's not already
+    there (keyed on the _SUCCESS marker, so a torn write regenerates).
+    Shared with scaling_hunt, whose cheap per-window probe reads the
+    same path BEFORE any full session would have materialized it — a
+    cleaned /tmp otherwise bricks every probe."""
+    if os.path.exists(os.path.join(pages_path, "_SUCCESS")):
+        return
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    fanout = int(os.environ.get("SPARK_GRAFT_SCALING_FANOUT", "96"))
+    code = GEN_TEMPLATE.format(repo=REPO, sf_dir=sf_dir, fanout=fanout, pages_path=pages_path)
+    env = dict(os.environ, SPARK_GRAFT_DRIVER_MEM="48g")
+    subprocess.run([sys.executable, "-c", code], timeout=1800, check=True, env=env)
+
+
 def main() -> None:
     report_only = "--report-only" in sys.argv
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -135,10 +150,8 @@ def main() -> None:
     n_hi = 4 * n_lo
     pages_path = os.environ.get("SPARK_GRAFT_PAGES_PATH", "/tmp/scaling_pages")
 
-    if not report_only and not os.path.exists(os.path.join(pages_path, "_SUCCESS")):
-        code = GEN_TEMPLATE.format(repo=REPO, sf_dir=sf_dir, fanout=fanout, pages_path=pages_path)
-        env = dict(os.environ, SPARK_GRAFT_DRIVER_MEM="48g")
-        subprocess.run([sys.executable, "-c", code], timeout=1800, check=True, env=env)
+    if not report_only:
+        ensure_pages(pages_path)
 
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     if not report_only:

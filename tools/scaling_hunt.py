@@ -93,6 +93,15 @@ def main() -> None:
             return True
         return False
 
+    # Materialize the pages input up front (untimed, and BEFORE any
+    # probe): the probe reads pages_path directly, so a cleaned /tmp
+    # used to fail every window of the hunt with a read error.
+    if huntlock.acquire(LOCK, PEER_LOCKS, "materialize"):
+        try:
+            sb.ensure_pages(pages_path)
+        finally:
+            huntlock.release(LOCK)
+
     for i in range(rounds):
         if not huntlock.acquire(LOCK, PEER_LOCKS, "probe"):
             print(f"probe {i}: another hunt holds a lock — skipping window", flush=True)
