@@ -38,6 +38,7 @@ def build_parser() -> argparse.ArgumentParser:
         choices=[
             "assign", "fused", "tiles", "knn", "knn_bulk", "incremental",
             "dedup", "stream_dedup", "vectorize", "dwithin", "sessions", "curate",
+            "overlap", "sample",
         ],
     )
     p.add_argument("--sf-dir", required=True)
@@ -74,6 +75,24 @@ def build_parser() -> argparse.ArgumentParser:
         help="star LSH band groups larger than this (stream_dedup; "
         "closure-equivalent for exact-dup families, O(n) not O(n^2))",
     )
+    p.add_argument(
+        "--strata",
+        default="lang",
+        help="comma-separated stratum columns for --job sample",
+    )
+    p.add_argument(
+        "--sample-n",
+        type=int,
+        default=None,
+        help="exact rows per stratum (--job sample; content-stable draw)",
+    )
+    p.add_argument(
+        "--sample-fraction",
+        type=float,
+        default=None,
+        help="per-stratum Bernoulli fraction (--job sample)",
+    )
+    p.add_argument("--sample-seed", type=int, default=0)
     p.add_argument("--resume", action="store_true")
     p.add_argument("--snapshot-root", default=None)
     p.add_argument(
@@ -369,6 +388,44 @@ def main(argv: list[str] | None = None) -> None:
         stages["curated"].write.mode("overwrite").parquet(f"{args.output}/curated")
         prev.unpersist(blocking=False)
         mlog.log_counters(run_id, "curate_funnel", funnel)
+    elif args.job == "overlap":
+        # boundary QA: which polygon pairs share interior area (the
+        # pairs a priority table must rank); legal shared-edge borders
+        # are excluded by the open-interiors contract
+        from .operators.overlap import overlap_audit
+
+        pairs = overlap_audit(spark, polys, level=min(args.cover_level, 7))
+        pairs.write.mode("overwrite").parquet(f"{args.output}/overlaps")
+        mlog.log_counters(
+            run_id,
+            "overlap_audit",
+            {
+                "n_polygons": len(polys),
+                "n_overlapping_pairs": spark.read.parquet(
+                    f"{args.output}/overlaps"
+                ).count(),
+            },
+        )
+    elif args.job == "sample":
+        from .operators.sampling import hash_sample, stratified_take
+
+        docs = spark.read.parquet(f"{args.sf_dir}/documents.parquet")
+        strata = [c.strip() for c in args.strata.split(",") if c.strip()]
+        if args.sample_n is not None:
+            out = stratified_take(
+                docs, strata, args.sample_n, key_col="doc_id", seed=args.sample_seed
+            )
+        elif args.sample_fraction is not None:
+            out = hash_sample(docs, "doc_id", args.sample_fraction, seed=args.sample_seed)
+        else:
+            raise SystemExit("--job sample requires --sample-n or --sample-fraction")
+        out.write.mode("overwrite").parquet(f"{args.output}/sample")
+        sampled = spark.read.parquet(f"{args.output}/sample")
+        mlog.log_counters(
+            run_id,
+            "sample",
+            {"n_sampled": sampled.count(), "n_input": docs.count()},
+        )
     elif args.job == "incremental":
         from .streaming.incremental import IncrementalRunner
 
