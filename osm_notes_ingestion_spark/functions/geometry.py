@@ -500,3 +500,93 @@ def _convex_hull(pts: np.ndarray) -> np.ndarray:
     lower = half(p)
     upper = half(p[::-1])
     return np.asarray(lower[:-1] + upper[:-1], dtype=np.float64)
+
+
+def _point_segment_dist(pts: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Distances of pts (M,2) to segment a→b, vectorized."""
+    ab = b - a
+    denom = float(ab @ ab)
+    if denom == 0.0:
+        return np.hypot(pts[:, 0] - a[0], pts[:, 1] - a[1])
+    t = np.clip(((pts - a) @ ab) / denom, 0.0, 1.0)
+    proj = a + t[:, None] * ab
+    return np.hypot(pts[:, 0] - proj[:, 0], pts[:, 1] - proj[:, 1])
+
+
+def _dp_keep_mask(pts: np.ndarray, tol: float) -> np.ndarray:
+    """Douglas-Peucker keep-mask for an OPEN polyline (endpoints kept).
+
+    Iterative stack (no recursion-depth limit); the DP invariant — every
+    dropped vertex lies within `tol` of the kept polyline — is what the
+    simplification tests pin."""
+    n = len(pts)
+    keep = np.zeros(n, dtype=bool)
+    keep[0] = keep[-1] = True
+    stack = [(0, n - 1)]
+    while stack:
+        i, j = stack.pop()
+        if j <= i + 1:
+            continue
+        d = _point_segment_dist(pts[i + 1 : j], pts[i], pts[j])
+        k = int(np.argmax(d))
+        if d[k] > tol:
+            k += i + 1
+            keep[k] = True
+            stack.append((i, k))
+            stack.append((k, j))
+    return keep
+
+
+def simplify_ring(ring: np.ndarray, tol: float) -> np.ndarray:
+    """Douglas-Peucker simplification of a CLOSED ring (not stored
+    closed; the closing edge is implicit, as everywhere in this engine).
+
+    Anchoring: plain DP needs fixed endpoints; a ring has none. We pin
+    vertex 0 and the vertex farthest from it — both are extreme points
+    the simplification must keep anyway — and simplify the two arcs
+    independently. Guarantee (tested): every ORIGINAL vertex lies within
+    `tol` of the simplified ring's closest edge. Degenerate results
+    (<3 distinct vertices — the ring collapsed at this tolerance) return
+    the 2-point spine; callers treating rings as areas should drop them
+    (simplify_polys does).
+
+    tol is in coordinate units (degrees here). tol=0 removes exactly the
+    collinear vertices (d > 0 strictly)."""
+    if len(ring) < 3:
+        return ring
+    d0 = np.hypot(ring[:, 0] - ring[0, 0], ring[:, 1] - ring[0, 1])
+    m = int(np.argmax(d0))
+    if m == 0:  # all vertices coincide
+        return ring[:1]
+    arc1 = ring[: m + 1]
+    arc2 = np.concatenate([ring[m:], ring[:1]])  # wrap back to vertex 0
+    k1 = _dp_keep_mask(arc1, tol)
+    k2 = _dp_keep_mask(arc2, tol)
+    keep = np.zeros(len(ring), dtype=bool)
+    keep[: m + 1] |= k1
+    keep[m:] |= k2[:-1]
+    keep[0] |= k2[-1]
+    return ring[keep]
+
+
+def simplify_polys(polys: list[dict], tol: float) -> list[dict]:
+    """Tolerance-bounded polygon-dimension shrink (opt-in, build-time).
+
+    Returns new poly dicts with every ring Douglas-Peucker-simplified at
+    `tol`; rings that collapse below 3 vertices (area ≲ tol²) are
+    dropped, and polygons losing all rings are dropped. The trade is
+    explicit and quantified: assignment/overlap answers can differ from
+    the full-resolution dimension only for points within `tol` degrees
+    of a boundary — in exchange the broadcast pack and the per-point
+    refine cost shrink by the vertex-count ratio. The reference ships
+    full-resolution boundaries and pays for it in its grid tuning
+    (sql/functionsProcess_31_organizeAreas_2DGrid.sql); at 10^12 points
+    a 10× smaller pack is usually worth a ~100 m boundary fuzz
+    (tol=1e-3 deg)."""
+    out = []
+    for p in polys:
+        rings = [simplify_ring(np.asarray(r, dtype=np.float64), tol) for r in p["rings"]]
+        rings = [r for r in rings if len(r) >= 3]
+        if rings:
+            out.append({**p, "rings": rings})
+    return out

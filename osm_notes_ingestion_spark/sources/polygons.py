@@ -48,7 +48,19 @@ class PolygonIndex:
         return len(self.cells)
 
 
-def prep_polygons(polys: list[dict], level: int = DEFAULT_COVER_LEVEL) -> PolygonIndex:
+def prep_polygons(
+    polys: list[dict],
+    level: int = DEFAULT_COVER_LEVEL,
+    simplify_tol: float | None = None,
+) -> PolygonIndex:
+    """simplify_tol (opt-in): Douglas-Peucker the dimension at this
+    tolerance (degrees) before packing — smaller broadcast pack, cheaper
+    refine, answers identical except within `tol` of a boundary
+    (functions/geometry.simplify_polys documents the trade)."""
+    if simplify_tol is not None:
+        from ..functions.geometry import simplify_polys
+
+        polys = simplify_polys(polys, simplify_tol)
     pack = PolygonPack.build(polys)
     cells, cids, prios, fulls = [], [], [], []
     for i, p in enumerate(polys):
