@@ -104,6 +104,45 @@ def sql_page_text(id_expr: str = "id", et: str = "event_type", props: str = "pro
     )
 
 
+def sql_nearest_values() -> str:
+    """VALUES rows (cid, ax, ay, vx, vy, len2) — every wraparound segment
+    of every world ring in µdeg float64, literals emitted with repr()
+    (shortest round-trip: DuckDB's correctly-rounded parse recovers the
+    identical double). vx/vy/len2 precomputed in numpy so the oracle and
+    operators/nearest.py share bit-identical segment constants."""
+    rows = []
+    for p in world_polygons():
+        cid = p["country_id"]
+        for ring in p["rings"]:
+            v = np.asarray(ring, dtype=np.float64) * 1e6
+            nxt = np.roll(v, -1, axis=0)
+            for (ax, ay), (bx, by) in zip(v, nxt):
+                if ax == bx and ay == by:
+                    continue
+                vx, vy = bx - ax, by - ay
+                len2 = vx * vx + vy * vy
+                rows.append(
+                    f"({cid}, {float(ax)!r}, {float(ay)!r}, "
+                    f"{float(vx)!r}, {float(vy)!r}, {float(len2)!r})"
+                )
+    return ",\n  ".join(rows)
+
+
+def sql_seg_d2(shift: float) -> str:
+    """Point-segment squared distance for one longitude shift, spelled in
+    the EXACT IEEE operation sequence operators/nearest.py uses (see its
+    exactness contract): t = clip((w.v)/len2, 0, 1); d2 = |w - t v|^2.
+    Expects columns px, py (point µdeg doubles) and ax, ay, vx, vy, len2
+    (segment constants). Subexpressions are textually inlined — repeated
+    evaluation is deterministic, so the value is unchanged."""
+    wx = f"((px + {float(shift)!r}) - ax)"
+    wy = "(py - ay)"
+    t = f"LEAST(GREATEST((({wx} * vx) + ({wy} * vy)) / len2, 0.0), 1.0)"
+    dx = f"({wx} - ({t} * vx))"
+    dy = f"({wy} - ({t} * vy))"
+    return f"(({dx} * {dx}) + ({dy} * {dy}))"
+
+
 # ------------------------------------------------------------ polygon world
 
 # (country_id, name, priority); geometry built in world_polygons()
