@@ -274,3 +274,24 @@ def test_paragraph_dedup_winner_is_aggregate_not_window(spark):
     assert "Window" not in plan, plan
     # winner agg shows up as partial_min over the (id,pos) struct
     assert "partial_min" in plan or "min(" in plan, plan
+
+
+def test_grid_cluster_has_no_cartesian(spark):
+    """grid_cluster's candidate generation must be the eps-cell equi-join
+    (3x3 ring explode → join on cell) — never a cartesian / nested-loop
+    pair enumeration, and the ring explode must stay JVM-side (no
+    Python/Arrow eval anywhere in the pair path)."""
+    from osm_notes_ingestion_spark.operators.clustering import grid_cluster
+
+    pts = spark.range(200).selectExpr(
+        "id", "CAST(id % 90 AS LONG) * 1000000 AS lat_e6", "CAST(id % 180 AS LONG) * 1000000 AS lon_e6"
+    )
+    plan = (
+        grid_cluster(pts, 2_000_000, 3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
