@@ -105,3 +105,92 @@ def test_border_and_noise_roles(spark):
     assert got[10] == (10, "core") and got[14] == (10, "core")
     assert got[15] == (10, "border")
     assert got[16] == (-1, "noise")
+
+
+def test_incremental_equals_full_recompute(spark):
+    """3 batches with families that span all three, a border that gets
+    promoted to core, two clusters merged by a bridging point, and
+    noise->border transitions — incremental labels must equal a full
+    grid_cluster over everything seen, after every batch."""
+    from osm_notes_ingestion_spark.operators.clustering import (
+        grid_cluster_increment,
+        grid_cluster_init,
+    )
+
+    eps, min_pts = 1_000_000, 3
+
+    def mk(rows):
+        return spark.createDataFrame(rows, "id long, lat_e6 long, lon_e6 long")
+
+    # batch 1: blob A (3 pts, core at min_pts=3), blob B (2 pts — not yet
+    # core), a lone far point (noise)
+    b1 = [
+        (1, 0, 0), (2, 0, 400_000), (3, 400_000, 0),          # A
+        (10, 0, 20_000_000), (11, 0, 20_400_000),             # B (pre-core)
+        (50, 50_000_000, 50_000_000),                          # noise
+    ]
+    # batch 2: completes B into a core blob; adds a satellite border to A
+    b2 = [
+        (12, 400_000, 20_000_000),                             # B now core
+        (4, 900_000, 900_000),                                 # border of A
+    ]
+    # batch 3: a chain bridging A towards B? (too far) — instead merge A
+    # with a NEW blob C grown adjacent, and wrap-side points
+    b3 = [
+        (5, 0, 800_000), (6, 0, 1_200_000), (7, 0, 1_600_000), # C, touches A
+        (60, 0, -179_900_000), (61, 0, 179_900_000),           # wrap pair
+        (62, 400_000, 179_900_000),                            # wrap trio -> core
+    ]
+
+    state, labels = grid_cluster_init(mk(b1), eps, min_pts)
+    seen = list(b1)
+    want = {r["id"]: (r["cluster"], r["role"]) for r in grid_cluster(mk(seen), eps, min_pts).collect()}
+    got = {r["id"]: (r["cluster"], r["role"]) for r in labels.collect()}
+    assert got == want
+
+    for batch in (b2, b3):
+        state, labels = grid_cluster_increment(state, mk(batch))
+        seen += batch
+        want = {r["id"]: (r["cluster"], r["role"]) for r in grid_cluster(mk(seen), eps, min_pts).collect()}
+        got = {r["id"]: (r["cluster"], r["role"]) for r in labels.collect()}
+        assert got == want
+
+    # spot invariants: A and C merged into one cluster; wrap trio is core
+    final = got
+    assert final[1][0] == final[5][0] == final[7][0]
+    assert final[60] == (60, "core") and final[61][0] == 60 and final[62][0] == 60
+
+
+def test_incremental_random_batches(spark):
+    """Randomized: 3 batches of mixed-density points; incremental ≡ full
+    after each batch."""
+    from osm_notes_ingestion_spark.operators.clustering import (
+        grid_cluster_increment,
+        grid_cluster_init,
+    )
+
+    rng = np.random.default_rng(23)
+    eps, min_pts = 3_000_000, 4
+
+    def draw(n, id0):
+        centers = rng.uniform((-60e6, -150e6), (60e6, 150e6), size=(3, 2))
+        pts = np.concatenate(
+            [rng.normal(c, 2e6, size=(n // 3, 2)) for c in centers]
+            + [rng.uniform((-80e6, -170e6), (80e6, 170e6), size=(n - 3 * (n // 3) + 8, 2))]
+        ).astype(np.int64)
+        lat = np.clip(pts[:, 0], -90_000_000, 90_000_000)
+        lon = np.clip(pts[:, 1], -180_000_000, 180_000_000)
+        return [(id0 + i, int(lat[i]), int(lon[i])) for i in range(len(lat))]
+
+    def mk(rows):
+        return spark.createDataFrame(rows, "id long, lat_e6 long, lon_e6 long")
+
+    batches = [draw(30, 0), draw(30, 1000), draw(30, 2000)]
+    state, labels = grid_cluster_init(mk(batches[0]), eps, min_pts)
+    seen = list(batches[0])
+    for batch in batches[1:]:
+        state, labels = grid_cluster_increment(state, mk(batch))
+        seen += batch
+        want = {r["id"]: (r["cluster"], r["role"]) for r in grid_cluster(mk(seen), eps, min_pts).collect()}
+        got = {r["id"]: (r["cluster"], r["role"]) for r in labels.collect()}
+        assert got == want
