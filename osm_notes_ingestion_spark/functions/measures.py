@@ -117,8 +117,30 @@ def polygon_perimeter(rings: list[np.ndarray], spherical: bool = False) -> float
 
 def polygon_centroid(rings: list[np.ndarray]) -> tuple[float, float]:
     """Area-weighted centroid (planar, even-odd: hole mass subtracted).
-    Degenerate (zero-area) features fall back to the vertex mean."""
+    Degenerate (zero-area) features fall back to the vertex mean.
+
+    Antimeridian-aware: when the feature's longitude extent exceeds 180°
+    (a split multipolygon straddling ±180, like Wrapland), the naive
+    planar mean would land on the WRONG side of the planet (two parts at
+    +179 and -179 average to 0). The weighted sums are then taken in the
+    [0, 360) frame and mapped back to [-180, 180). Ring DEPTHS stay in
+    the ORIGINAL frame: split halves grown by a seam epsilon overlap by
+    that epsilon after the shift, and a shifted-frame parity test would
+    misread one half as the other's hole (zero total mass, exploding
+    centroid) — in the original frame the halves are disjoint. A band
+    whose VERTEX lons are only ±180 (polar cap) shifts into a ~0-width
+    frame and reports lon ±180; its centroid lon is genuinely undefined,
+    so any value is as canonical."""
     depth = _ring_depth(rings)
+    wrap = False
+    lons = np.concatenate([r[:, 0] for r in rings])
+    shifted_lons = np.where(lons < 0, lons + 360.0, lons)
+    if lons.max() - lons.min() > 180.0 > shifted_lons.max() - shifted_lons.min():
+        wrap = True
+        rings = [
+            np.column_stack([np.where(r[:, 0] < 0, r[:, 0] + 360.0, r[:, 0]), r[:, 1]])
+            for r in rings
+        ]
     A = 0.0
     cx = 0.0
     cy = 0.0
@@ -139,8 +161,12 @@ def polygon_centroid(rings: list[np.ndarray]) -> tuple[float, float]:
             cy += sgn * abs(a) * rcy
     if A == 0.0:
         allv = np.concatenate(rings)
-        return float(allv[:, 0].mean()), float(allv[:, 1].mean())
-    return cx / A, cy / A
+        cx, cy = float(allv[:, 0].mean()), float(allv[:, 1].mean())
+    else:
+        cx, cy = cx / A, cy / A
+    if wrap and cx >= 180.0:
+        cx -= 360.0
+    return cx, cy
 
 
 def measures_df(spark, ring_rows, spherical: bool = False):
@@ -162,7 +188,7 @@ def measures_df(spark, ring_rows, spherical: bool = False):
         ]
     )
 
-    def per_feature(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def per_feature(key, pdf):
         rings = [
             np.column_stack([np.asarray(r.lons, dtype=np.float64), np.asarray(r.lats, dtype=np.float64)])
             for r in pdf.itertuples()

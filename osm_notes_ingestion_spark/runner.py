@@ -38,7 +38,7 @@ def build_parser() -> argparse.ArgumentParser:
         choices=[
             "assign", "fused", "tiles", "knn", "knn_bulk", "incremental",
             "dedup", "stream_dedup", "vectorize", "dwithin", "sessions", "curate",
-            "overlap", "sample",
+            "overlap", "sample", "cluster", "measures",
         ],
     )
     p.add_argument("--sf-dir", required=True)
@@ -79,6 +79,18 @@ def build_parser() -> argparse.ArgumentParser:
         "--strata",
         default="lang",
         help="comma-separated stratum columns for --job sample",
+    )
+    p.add_argument(
+        "--cluster-eps-e6",
+        type=int,
+        default=1_000_000,
+        help="DBSCAN eps in µdeg for --job cluster (1e6 ≈ 1°)",
+    )
+    p.add_argument(
+        "--cluster-min-pts",
+        type=int,
+        default=4,
+        help="DBSCAN min_pts for --job cluster",
     )
     p.add_argument(
         "--sample-n",
@@ -425,6 +437,41 @@ def main(argv: list[str] | None = None) -> None:
             run_id,
             "sample",
             {"n_sampled": sampled.count(), "n_input": docs.count()},
+        )
+    elif args.job == "cluster":
+        # coordinate-hotspot discovery over the extracted pages
+        from .operators.clustering import grid_cluster
+
+        pts = ext.where("has_coords AND NOT rejected")
+        labels = grid_cluster(
+            pts, args.cluster_eps_e6, args.cluster_min_pts
+        )
+        labels.write.mode("overwrite").parquet(f"{args.output}/clusters")
+        written = spark.read.parquet(f"{args.output}/clusters")
+        by_role = {r["role"]: r["n"] for r in written.groupBy("role").agg(F.count("*").alias("n")).collect()}
+        mlog.log_counters(
+            run_id,
+            "cluster",
+            {
+                "n_points": written.count(),
+                "n_clusters": written.where("cluster >= 0").select("cluster").distinct().count(),
+                "n_core": by_role.get("core", 0),
+                "n_border": by_role.get("border", 0),
+                "n_noise": by_role.get("noise", 0),
+            },
+        )
+    elif args.job == "measures":
+        # dimension QA: area/centroid/perimeter per polygon feature
+        from .functions.measures import measures_df
+        from .sources.polygons import ring_rows_df
+
+        rows = ring_rows_df(spark, polys, densify_bands=False)
+        out = measures_df(spark, rows, spherical=True)
+        out.write.mode("overwrite").parquet(f"{args.output}/measures")
+        mlog.log_counters(
+            run_id,
+            "measures",
+            {"n_features": spark.read.parquet(f"{args.output}/measures").count()},
         )
     elif args.job == "incremental":
         from .streaming.incremental import IncrementalRunner

@@ -92,3 +92,37 @@ def test_measures_df_matches_driver(spark):
     holey = next(p for p in polys if p["country_id"] == 4)
     outer_only = polygon_area([np.asarray(holey["rings"][0])])
     assert got[4]["area"] < outer_only
+
+
+def test_centroid_antimeridian_and_full_band():
+    # Wrapland-style split multipolygon: parts at 170..180 and -180..-170,
+    # lat -30..10 — true centroid sits ON the antimeridian, not at lon 0
+    w = [
+        np.array([[170.0, -30], [180, -30], [180, 10], [170, 10]]),
+        np.array([[-180.0, -30], [-170, -30], [-170, 10], [-180, 10]]),
+    ]
+    cx, cy = polygon_centroid(w)
+    assert abs(abs(cx) - 180.0) < 1e-9 and cy == pytest.approx(-10.0, abs=1e-9)
+    # asymmetric masses: 170..180 (10 wide) + -180..-160 (20 wide) ->
+    # shifted frame 170..200, centroid at weighted mean of 175 and 190
+    w2 = [
+        np.array([[170.0, 0], [180, 0], [180, 10], [170, 10]]),
+        np.array([[-180.0, 0], [-160, 0], [-160, 10], [-180, 10]]),
+    ]
+    cx, cy = polygon_centroid(w2)
+    assert cx == pytest.approx((10 * 175 + 20 * 190) / 30 - 360.0, abs=1e-9)
+    # full-longitude polar band: no frame shrinks it; planar fallback, no
+    # recursion, lat centroid correct
+    band = np.array([[-180.0, 80], [180, 80], [180, 90], [-180, 90]])
+    cx, cy = polygon_centroid([band])
+    assert cy == pytest.approx(85.0, abs=1e-9)
+    # regression: the synthetic Wrapland's halves are GROWN by a seam
+    # epsilon, so after the shift they overlap by ~1µdeg — a
+    # shifted-frame depth test misread one half as the other's hole
+    # (total mass ~0, centroid exploded to ±1e15); depths must come from
+    # the original frame
+    from osm_notes_ingestion_spark.sources.synth import world_polygons
+
+    wrapland = next(p for p in world_polygons() if p["country_id"] == 5)
+    cx, cy = polygon_centroid([np.asarray(r, dtype=np.float64) for r in wrapland["rings"]])
+    assert abs(abs(cx) - 180.0) < 1e-5 and cy == pytest.approx(-10.0, abs=1e-5)
