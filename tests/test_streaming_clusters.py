@@ -1,0 +1,103 @@
+"""Streaming cluster maintenance (streaming/clusters.py): settled labels
+≡ batch grid_cluster after every prefix, replay idempotence, and the
+spatial bucket-pruning contract (a batch reads only its ring-2 buckets).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pytest
+
+from osm_notes_ingestion_spark.operators.clustering import grid_cluster
+from osm_notes_ingestion_spark.streaming.clusters import (
+    cluster_labels,
+    process_cluster_batch,
+)
+
+EPS, MIN_PTS = 1_000_000, 3
+
+B1 = [
+    (1, 0, 0), (2, 0, 400_000), (3, 400_000, 0),            # blob A (core)
+    (10, 0, 20_000_000), (11, 0, 20_400_000),               # B (pre-core)
+    (50, 50_000_000, 50_000_000),                           # noise
+]
+B2 = [
+    (12, 400_000, 20_000_000),                              # B promotes
+    (4, 900_000, 900_000),                                  # border of A
+]
+B3 = [
+    (5, 0, 800_000), (6, 0, 1_200_000), (7, 0, 1_600_000),  # C merges into A
+    (60, 0, -179_900_000), (61, 0, 179_900_000),            # wrap pair
+    (62, 400_000, 179_900_000),                             # wrap trio core
+]
+
+
+def _mk(spark, rows):
+    return spark.createDataFrame(rows, "id long, lat_e6 long, lon_e6 long")
+
+
+def _settled(spark, root):
+    return {r["id"]: (r["cluster"], r["role"]) for r in cluster_labels(spark, root).collect()}
+
+
+def _full(spark, rows):
+    return {
+        r["id"]: (r["cluster"], r["role"])
+        for r in grid_cluster(_mk(spark, rows), EPS, MIN_PTS).collect()
+    }
+
+
+def test_settled_equals_batch_after_each_prefix(spark, tmp_path):
+    root = str(tmp_path / "store")
+    seen = []
+    for i, batch in enumerate((B1, B2, B3)):
+        process_cluster_batch(spark, _mk(spark, batch), i, root, EPS, MIN_PTS, n_buckets=8)
+        seen += batch
+        assert _settled(spark, root) == _full(spark, seen), f"prefix through batch {i}"
+
+
+def test_replay_is_idempotent(spark, tmp_path):
+    root = str(tmp_path / "store")
+    for i, batch in enumerate((B1, B2)):
+        process_cluster_batch(spark, _mk(spark, batch), i, root, EPS, MIN_PTS, n_buckets=8)
+    before = _settled(spark, root)
+    # replay batch 1 (crash-recovery path): same rows rewritten, labels
+    # re-seeded from gen 0, result unchanged
+    process_cluster_batch(spark, _mk(spark, B2), 1, root, EPS, MIN_PTS, n_buckets=8)
+    assert _settled(spark, root) == before
+    # and the stream continues correctly after the replay
+    process_cluster_batch(spark, _mk(spark, B3), 2, root, EPS, MIN_PTS, n_buckets=8)
+    assert _settled(spark, root) == _full(spark, B1 + B2 + B3)
+
+
+def test_reads_are_bucket_pruned(spark, tmp_path, monkeypatch):
+    """A small localized batch must read strictly fewer point buckets
+    than exist in the store."""
+    import osm_notes_ingestion_spark.streaming.clusters as sc
+
+    root = str(tmp_path / "store")
+    rng = np.random.default_rng(1)
+    spread = [
+        (int(i), int(rng.integers(-80e6, 80e6)), int(rng.integers(-170e6, 170e6)))
+        for i in range(300)
+    ]
+    process_cluster_batch(spark, _mk(spark, spread), 0, root, EPS, MIN_PTS, n_buckets=16)
+    n_store_buckets = len([d for d in os.listdir(f"{root}/points") if d.startswith("bkt=")])
+
+    read_counts = []
+    orig = sc._read_buckets
+
+    def spy(spark_, r, buckets, schema, before):
+        read_counts.append((os.path.basename(r), len(buckets)))
+        return orig(spark_, r, buckets, schema, before)
+
+    monkeypatch.setattr(sc, "_read_buckets", spy)
+    local = [(1000 + i, 0, i * 200_000) for i in range(5)]  # one tiny area
+    process_cluster_batch(spark, _mk(spark, local), 1, root, EPS, MIN_PTS, n_buckets=16)
+    assert read_counts, "pruned reader not exercised"
+    for name, n in read_counts:
+        assert n < n_store_buckets, (name, n, n_store_buckets)
+    # correctness unaffected by pruning
+    assert _settled(spark, root) == _full(spark, spread + local)
