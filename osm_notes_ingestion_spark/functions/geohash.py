@@ -114,3 +114,86 @@ def geohash_sql(lat: str, lon: str, precision: int = 9) -> str:
         for i in range(precision)
     ]
     return "(" + " || ".join(digits) + ")"
+
+
+def _unspread_np(v: np.ndarray) -> np.ndarray:
+    """Inverse of _spread_np: gather the even bit positions back."""
+    v = v.astype(np.int64) & 0x5555555555555555
+    # standard magic-mask compaction (inverse masks, reversed shifts)
+    v = (v | (v >> 1)) & 0x3333333333333333
+    v = (v | (v >> 2)) & 0x0F0F0F0F0F0F0F0F
+    v = (v | (v >> 4)) & 0x00FF00FF00FF00FF
+    v = (v | (v >> 8)) & 0x0000FFFF0000FFFF
+    v = (v | (v >> 16)) & 0x00000000FFFFFFFF
+    return v
+
+
+_B32_INDEX = {c: i for i, c in enumerate(B32)}
+
+
+def _cells_of(hashes) -> tuple[np.ndarray, np.ndarray, int, int, int]:
+    """geohash strings (equal length) → (x, y, precision, lon_bits,
+    lat_bits) integer cells."""
+    hashes = list(hashes)
+    precision = len(hashes[0])
+    if any(len(h) != precision for h in hashes):
+        raise ValueError("all geohashes in a batch must share a precision")
+    total, lon_bits, lat_bits = _check(precision)
+    word = np.zeros(len(hashes), dtype=np.int64)
+    for i, h in enumerate(hashes):
+        w = 0
+        for ch in h:
+            w = (w << 5) | _B32_INDEX[ch]
+        word[i] = w
+    if total % 2 == 0:
+        x = _unspread_np(word >> 1)
+        y = _unspread_np(word)
+    else:
+        x = _unspread_np(word)
+        y = _unspread_np(word >> 1)
+    return x, y, precision, lon_bits, lat_bits
+
+
+def geohash_decode_np(hashes) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """geohash strings → (lat_min, lon_min, lat_max, lon_max) cell bbox
+    in degrees (the cell center is the midpoint)."""
+    x, y, _, lon_bits, lat_bits = _cells_of(hashes)
+    lon_w = 360.0 / (1 << lon_bits)
+    lat_w = 180.0 / (1 << lat_bits)
+    lon_min = x * lon_w - 180.0
+    lat_min = y * lat_w - 90.0
+    return lat_min, lon_min, lat_min + lat_w, lon_min + lon_w
+
+
+def geohash_neighbors_np(hashes) -> np.ndarray:
+    """(N, ≤8) object array of each hash's neighbors (the classic 8-cell
+    ring): longitude wraps at the antimeridian, latitude rows beyond the
+    poles are omitted (polar cells have fewer than 8 neighbors).
+    Computed by integer cell arithmetic + re-encode — no per-character
+    border tables, so it inherits the encoder's pinned correctness."""
+    x, y, precision, lon_bits, lat_bits = _cells_of(hashes)
+    nx, ny = 1 << lon_bits, 1 << lat_bits
+    total = 5 * precision
+    chars = np.array(list(B32))
+    out = np.empty(len(x), dtype=object)
+    for i in range(len(x)):
+        ns = []
+        for dy in (-1, 0, 1):
+            yy = int(y[i]) + dy
+            if yy < 0 or yy >= ny:
+                continue
+            for dx in (-1, 0, 1):
+                if dx == 0 and dy == 0:
+                    continue
+                xx = (int(x[i]) + dx) % nx
+                if total % 2 == 0:
+                    word = (int(_spread_np(np.array([xx]))[0]) << 1) | int(
+                        _spread_np(np.array([yy]))[0]
+                    )
+                else:
+                    word = (int(_spread_np(np.array([yy]))[0]) << 1) | int(
+                        _spread_np(np.array([xx]))[0]
+                    )
+                ns.append("".join(chars[(word >> (5 * (precision - 1 - k))) & 31] for k in range(precision)))
+        out[i] = ns
+    return out

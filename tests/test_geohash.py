@@ -91,3 +91,53 @@ def test_precision_validation():
         geohash_np([0.0], [0.0], 13)
     with pytest.raises(ValueError):
         geohash_np([0.0], [0.0], 0)
+
+
+def test_decode_roundtrip_and_bbox():
+    from osm_notes_ingestion_spark.functions.geohash import geohash_decode_np
+
+    rng = np.random.default_rng(9)
+    lat = rng.uniform(-90, 90, 100)
+    lon = rng.uniform(-180, 180, 100)
+    for precision in (4, 7, 11):
+        hs = geohash_np(lat, lon, precision)
+        lat_min, lon_min, lat_max, lon_max = geohash_decode_np(hs)
+        # the encoded point lies inside its decoded bbox
+        assert ((lat >= lat_min) & (lat < lat_max + 1e-12)).all()
+        assert ((lon >= lon_min) & (lon < lon_max + 1e-12)).all()
+        # re-encoding the bbox center reproduces the hash
+        assert (geohash_np((lat_min + lat_max) / 2, (lon_min + lon_max) / 2, precision) == hs).all()
+    # canonical: 'ezs42' decodes to the published ~(42.6, -5.6) cell
+    lat_min, lon_min, lat_max, lon_max = geohash_decode_np(["ezs42"])
+    assert lat_min[0] < 42.605 < lat_max[0] and lon_min[0] < -5.603 < lon_max[0]
+
+
+def test_neighbors_wrap_and_poles():
+    from osm_notes_ingestion_spark.functions.geohash import (
+        geohash_decode_np,
+        geohash_neighbors_np,
+    )
+
+    # interior cell: exactly 8 neighbors, all adjacent (bbox edges touch)
+    h = geohash_np([40.0], [-100.0], 6)[0]
+    ns = geohash_neighbors_np([h])[0]
+    assert len(ns) == 8 and len(set(ns)) == 8 and h not in ns
+    lat_min, lon_min, lat_max, lon_max = geohash_decode_np([h])
+    nlat_min, nlon_min, nlat_max, nlon_max = geohash_decode_np(ns)
+    lat_w = lat_max[0] - lat_min[0]
+    lon_w = lon_max[0] - lon_min[0]
+    assert (np.abs(nlat_min - lat_min[0]) <= lat_w + 1e-9).all()
+    assert ((np.abs(nlon_min - lon_min[0]) <= lon_w + 1e-9)
+            | (np.abs(np.abs(nlon_min - lon_min[0]) - 360.0) <= lon_w + 1e-9)).all()
+
+    # antimeridian: a cell touching lon=180 has neighbors on the -180 side
+    h = geohash_np([0.0], [179.999999], 5)[0]
+    ns = geohash_neighbors_np([h])[0]
+    _, nlon_min, _, _ = geohash_decode_np(ns)
+    assert (nlon_min < -179.0).any()
+    assert len(ns) == 8
+
+    # pole: a top-row cell has only 5 neighbors (no row above)
+    h = geohash_np([89.99], [10.0], 4)[0]
+    ns = geohash_neighbors_np([h])[0]
+    assert len(ns) == 5
