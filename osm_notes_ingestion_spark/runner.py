@@ -38,7 +38,7 @@ def build_parser() -> argparse.ArgumentParser:
         choices=[
             "assign", "fused", "tiles", "knn", "knn_bulk", "incremental",
             "dedup", "stream_dedup", "vectorize", "dwithin", "sessions", "curate",
-            "overlap", "sample", "cluster", "measures",
+            "overlap", "sample", "cluster", "stream_cluster", "measures",
         ],
     )
     p.add_argument("--sf-dir", required=True)
@@ -458,6 +458,37 @@ def main(argv: list[str] | None = None) -> None:
                 "n_core": by_role.get("core", 0),
                 "n_border": by_role.get("border", 0),
                 "n_noise": by_role.get("noise", 0),
+            },
+        )
+    elif args.job == "stream_cluster":
+        # incremental hotspot maintenance: stream the extracted points
+        # file-by-file through the foreachBatch cluster store
+        from .streaming.clusters import cluster_labels, streaming_clusters
+
+        pts = ext.where("has_coords AND NOT rejected").select("id", "lat_e6", "lon_e6")
+        src = f"{args.output}/stream_src"
+        store = f"{args.output}/cluster_store"
+        jvm = spark._jvm
+        hconf = spark._jsc.hadoopConfiguration()
+        for p in (src, store):
+            hp = jvm.org.apache.hadoop.fs.Path(p)
+            hp.getFileSystem(hconf).delete(hp, True)
+        pts.repartition(4).write.mode("overwrite").parquet(src)
+        q = streaming_clusters(
+            spark, src, pts.schema, store,
+            eps_e6=args.cluster_eps_e6, min_pts=args.cluster_min_pts,
+            n_buckets=args.store_buckets,
+        )
+        q.awaitTermination()
+        labels = cluster_labels(spark, store)
+        labels.write.mode("overwrite").parquet(f"{args.output}/clusters")
+        written = spark.read.parquet(f"{args.output}/clusters")
+        mlog.log_counters(
+            run_id,
+            "stream_cluster",
+            {
+                "n_points": written.count(),
+                "n_clusters": written.where("cluster >= 0").select("cluster").distinct().count(),
             },
         )
     elif args.job == "measures":

@@ -292,18 +292,67 @@ def process_cluster_batch(
         .select("id", "core_id", _bkt(F.col("cell"), n_buckets).alias("bkt"), F.lit(batch_id).alias("batch_id"))
     )
 
-    # --- writes, all keyed by batch_id (idempotent on replay)
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    # --- writes, all keyed by batch_id (idempotent on replay). The
+    # overwrite mode rides on each WRITE as an option, NOT session conf:
+    # inside streaming foreachBatch the batch executes on a CLONED
+    # session whose conf was snapshotted at stream start, so a runtime
+    # spark.conf.set never reaches it — with the session default
+    # (static) a partitioned overwrite then wipes every PRIOR batch's
+    # partitions (observed: only the last micro-batch's points
+    # survived the runner's stream; the direct-call tests never clone).
     (
         new.select("id", "plat", "plon")
         .withColumn("cell", cell)
         .select("id", "plat", "plon", _bkt(F.col("cell"), n_buckets).alias("bkt"), F.lit(batch_id).alias("batch_id"))
         .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
         .partitionBy("bkt", "batch_id")
         .parquet(f"{store_root}/points")
     )
-    inc_rows.write.mode("overwrite").partitionBy("bkt", "batch_id").parquet(f"{store_root}/nbinc")
-    border_rows.write.mode("overwrite").partitionBy("bkt", "batch_id").parquet(f"{store_root}/border")
+    (
+        inc_rows.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("bkt", "batch_id")
+        .parquet(f"{store_root}/nbinc")
+    )
+    (
+        border_rows.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("bkt", "batch_id")
+        .parquet(f"{store_root}/border")
+    )
     labels2.write.mode("overwrite").parquet(f"{store_root}/labels/gen={batch_id}")
     new.unpersist()
     old.unpersist()
+
+
+def streaming_clusters(
+    spark: SparkSession,
+    source_dir: str,
+    schema,
+    store_root: str,
+    eps_e6: int,
+    min_pts: int = 4,
+    n_buckets: int = 16,
+    **kwargs,
+):
+    """readStream over a point directory → foreachBatch incremental
+    clustering (process_cluster_batch). Returns the started
+    StreamingQuery; run with trigger(availableNow=True) +
+    awaitTermination for the settled result, then read
+    cluster_labels(spark, store_root)."""
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(source_dir)
+    )
+    return (
+        stream.writeStream.foreachBatch(
+            lambda b, bid: process_cluster_batch(
+                spark, b, bid, store_root, eps_e6, min_pts, n_buckets=n_buckets, **kwargs
+            )
+        )
+        .option("checkpointLocation", os.path.join(store_root, "_stream_checkpoint"))
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -101,3 +101,29 @@ def test_reads_are_bucket_pruned(spark, tmp_path, monkeypatch):
         assert n < n_store_buckets, (name, n, n_store_buckets)
     # correctness unaffected by pruning
     assert _settled(spark, root) == _full(spark, spread + local)
+
+
+def test_real_stream_settled_equals_batch(spark, tmp_path):
+    """Through readStream + foreachBatch (NOT direct calls): the batch
+    df executes on a CLONED session, which is exactly where the
+    static-overwrite wipe bug lived — a session-conf
+    partitionOverwriteMode never reaches the clone, so each micro-batch
+    erased its predecessors' store partitions. Pin the fix (per-write
+    option) end to end."""
+    from osm_notes_ingestion_spark.streaming.clusters import streaming_clusters
+
+    src = str(tmp_path / "src")
+    root = str(tmp_path / "store")
+    rows = B1 + B2 + B3
+    df = _mk(spark, rows)
+    # 3 files -> 3 micro-batches (maxFilesPerTrigger=1)
+    df.repartition(3).write.mode("overwrite").parquet(src)
+    q = streaming_clusters(spark, src, df.schema, root, eps_e6=EPS, min_pts=MIN_PTS, n_buckets=8)
+    q.awaitTermination()
+    # every staged point must survive in the store (the wipe bug lost
+    # all but the last batch), and labels must equal the batch operator
+    import pyspark.sql.functions as F  # noqa: N812
+
+    n_store = spark.read.parquet(f"{root}/points").count()
+    assert n_store == len(rows)
+    assert _settled(spark, root) == _full(spark, rows)
