@@ -171,7 +171,9 @@ def nearest_polygon(
         + [T.StructField(out_col, T.LongType()), T.StructField(d2_col, T.LongType())]
     )
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def _nearest_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # name shows up in the physical plan (MapInPandas _nearest_batches)
+        # — plan audits key on it
         pl, md2 = bc.value
         for pdf in batches:
             cid, d2 = nearest_polygon_kernel(
@@ -184,4 +186,4 @@ def nearest_polygon(
             pdf[d2_col] = d2
             yield pdf
 
-    return points.mapInPandas(run, schema=schema)
+    return points.mapInPandas(_nearest_batches, schema=schema)

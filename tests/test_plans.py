@@ -295,3 +295,26 @@ def test_grid_cluster_has_no_cartesian(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_nearest_leg_arrow_is_on_filtered_branch(spark, sf_dir):
+    """The assign_country gate's nearest-polygon leg must keep Arrow
+    volume to the NO_MATCH fraction: exactly one MapInPandas node (the
+    nearest kernel), sitting under the country_id = -1 filtered branch,
+    with the matched branch resolving JVM-side — and no cartesian /
+    nested-loop joins anywhere (mirrors the refine-branch audit)."""
+    from osm_notes_ingestion_spark.plans.queries_spatial import q_assign_country
+
+    plan = (
+        q_assign_country(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the nearest kernel appears EXACTLY once (extraction's mapInPandas
+    # recurs per union branch — the documented unmaterialized-gate shape;
+    # at scale the assign input is a materialized narrow table)
+    assert plan.count("_nearest_batches") == 1, plan
+    assert "= -1)" in plan  # ...and it sits above the NO_MATCH filter
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
