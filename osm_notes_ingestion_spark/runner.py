@@ -463,7 +463,11 @@ def main(argv: list[str] | None = None) -> None:
     elif args.job == "stream_cluster":
         # incremental hotspot maintenance: stream the extracted points
         # file-by-file through the foreachBatch cluster store
-        from .streaming.clusters import cluster_labels, streaming_clusters
+        from .streaming.clusters import (
+            cluster_labels,
+            compact_cluster_store,
+            streaming_clusters,
+        )
 
         pts = ext.where("has_coords AND NOT rejected").select("id", "lat_e6", "lon_e6")
         src = f"{args.output}/stream_src"
@@ -480,6 +484,9 @@ def main(argv: list[str] | None = None) -> None:
             n_buckets=args.store_buckets,
         )
         q.awaitTermination()
+        # maintenance fold while the stream is stopped (same contract as
+        # stream_dedup's compact_store): settled batches → one generation
+        compact_cluster_store(spark, store, keep_batches=1)
         labels = cluster_labels(spark, store)
         labels.write.mode("overwrite").parquet(f"{args.output}/clusters")
         written = spark.read.parquet(f"{args.output}/clusters")

@@ -187,6 +187,12 @@ def process_cluster_batch(
     READS are pruned to the buckets of the batch's ring-2 cells; the
     distance work is new×slice plus promoted neighbourhoods, exactly the
     batch increment's contract."""
+    if os.path.exists(f"{store_root}/_compact"):
+        raise RuntimeError(
+            f"{store_root}: compaction markers present — a crashed "
+            "compact_cluster_store may have left folded rows twice; run "
+            "compact_cluster_store() to recover before streaming resumes"
+        )
     level = _level_for_eps(int(eps_e6))
     eps2 = int(eps_e6) * int(eps_e6)
 
@@ -356,3 +362,146 @@ def streaming_clusters(
         .trigger(availableNow=True)
         .start()
     )
+
+
+# --------------------------------------------------------- store compaction
+
+_CLUSTER_SUBS = ("points", "nbinc", "border")
+
+
+def _cdelete_batch_dirs(fs, root, ids: set[int]) -> None:
+    for sub in _CLUSTER_SUBS:
+        sroot = root.suffix(f"/{sub}")
+        if not fs.exists(sroot):
+            continue
+        for bk in fs.listStatus(sroot):
+            if not bk.getPath().getName().startswith("bkt="):
+                continue
+            for i in ids:
+                fs.delete(bk.getPath().suffix(f"/batch_id={int(i)}"), True)
+
+
+def _cstore_batch_ids(fs, root) -> set[int]:
+    ids: set[int] = set()
+    if not fs.exists(root):
+        return ids
+    for bk in fs.listStatus(root):
+        if not bk.getPath().getName().startswith("bkt="):
+            continue
+        for st in fs.listStatus(bk.getPath()):
+            name = st.getPath().getName()
+            if name.startswith("batch_id="):
+                ids.add(int(name.split("=", 1)[1]))
+    return ids
+
+
+def compact_cluster_store(
+    spark: SparkSession, store_root: str, keep_batches: int = 1
+) -> int:
+    """Fold settled batches of the points/nbinc/border stores into one
+    consolidated GENERATION (batch_id = -g), the dedup store's contract
+    (streaming/dedup.compact_store) applied to the cluster stores — a
+    bucket's child count stays ~(1 + keep_batches) instead of growing
+    one dir per micro-batch forever. Returns the new generation number
+    (positive), or 0 if nothing folded.
+
+    Beyond concatenation, two folds genuinely SHRINK state:
+    - nbinc: increments SUM into one row per (id, cell) — a point
+      touched by a thousand batches compacts to one row;
+    - border: edges whose id is now CORE are dropped outright (core
+      status is monotone under insertions, so a promoted point can
+      never need its border edges again), and survivors dedup.
+
+    Label generations older than the newest two are pruned in the same
+    pass (replay needs the predecessor generation only).
+
+    Run ONLY while the stream is stopped, keep_batches ≥ 1 (replay
+    exclusion needs the newest batches path-excludable; generations,
+    batch_id < 0, always pass `batch_id < current`). Crash safety =
+    dedup's two-phase empty-marker protocol: gen=/keep= markers before
+    any write, committed after all writes, recovery rolls back (no
+    committed — partial generation dropped, sources intact) or forward
+    (committed — finish the deletes). process_cluster_batch refuses to
+    run while markers exist."""
+    if keep_batches < 1:
+        raise ValueError("keep_batches must be ≥ 1 (replay exclusion contract)")
+    from .dedup import _fs_and_path
+
+    fs, root = _fs_and_path(spark, store_root)
+    marker_dir = root.suffix("/_compact")
+
+    def _fold_set(exclude_gen: int | None, keep: int) -> set[int]:
+        all_ids: set[int] = set()
+        for sub in _CLUSTER_SUBS:
+            all_ids |= _cstore_batch_ids(fs, root.suffix(f"/{sub}"))
+        stream_ids = sorted(i for i in all_ids if i >= 0)
+        gens = {i for i in all_ids if i < 0} - {exclude_gen}
+        return gens | set(stream_ids[: max(0, len(stream_ids) - keep)])
+
+    if fs.exists(marker_dir):
+        names = {st.getPath().getName() for st in fs.listStatus(marker_dir)}
+        stale_gen = next((int(n.split("=", 1)[1]) for n in names if n.startswith("gen=")), None)
+        stale_keep = next((int(n.split("=", 1)[1]) for n in names if n.startswith("keep=")), None)
+        if "committed" in names and stale_gen is not None and stale_keep is not None:
+            _cdelete_batch_dirs(fs, root, _fold_set(stale_gen, stale_keep))
+        elif stale_gen is not None:
+            _cdelete_batch_dirs(fs, root, {stale_gen})
+        fs.delete(marker_dir, True)
+
+    fold = _fold_set(None, keep_batches)
+    gen_only = {i for i in fold if i < 0}
+    if not fold or (fold == gen_only and len(gen_only) <= 1):
+        return 0
+    new_gen = min(gen_only, default=0) - 1
+
+    fs.mkdirs(marker_dir.suffix(f"/gen={new_gen}"))
+    fs.mkdirs(marker_dir.suffix(f"/keep={int(keep_batches)}"))
+    fold_pred = F.col("batch_id").isin([int(i) for i in fold])
+
+    gen = _latest_gen(f"{store_root}/labels")
+    core = (
+        spark.read.parquet(f"{store_root}/labels/gen={gen}").select(F.col("node").alias("id"))
+        if gen is not None
+        else spark.createDataFrame([], "id long")
+    )
+
+    for sub in _CLUSTER_SUBS:
+        sroot = root.suffix(f"/{sub}")
+        # a store root can exist with zero bkt= children (a stream whose
+        # batches produced no rows of this kind writes only _SUCCESS) —
+        # nothing to fold, and a bare read would fail schema inference
+        if not fs.exists(sroot) or not any(
+            st.getPath().getName().startswith("bkt=") for st in fs.listStatus(sroot)
+        ):
+            continue
+        df = (
+            spark.read.option("basePath", sroot.toString())
+            .parquet(sroot.toString())
+            .where(fold_pred)
+        )
+        if sub == "nbinc":
+            df = df.groupBy("bkt", "id", "cell").agg(F.sum("inc").alias("inc"))
+        elif sub == "border":
+            # monotone-core argument: once core, never border again
+            df = df.join(core, "id", "left_anti").select("bkt", "id", "core_id").distinct()
+        df = df.withColumn("batch_id", F.lit(int(new_gen)))
+        (
+            df.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("bkt", "batch_id")
+            .parquet(sroot.toString())
+        )
+    fs.mkdirs(marker_dir.suffix("/committed"))
+    _cdelete_batch_dirs(fs, root, fold)
+    # prune stale label generations (keep the newest two)
+    lroot = root.suffix("/labels")
+    if fs.exists(lroot):
+        gens = sorted(
+            int(st.getPath().getName().split("=", 1)[1])
+            for st in fs.listStatus(lroot)
+            if st.getPath().getName().startswith("gen=")
+        )
+        for g in gens[:-2]:
+            fs.delete(lroot.suffix(f"/gen={g}"), True)
+    fs.delete(marker_dir, True)
+    return -new_gen

@@ -127,3 +127,80 @@ def test_real_stream_settled_equals_batch(spark, tmp_path):
     n_store = spark.read.parquet(f"{root}/points").count()
     assert n_store == len(rows)
     assert _settled(spark, root) == _full(spark, rows)
+
+
+def test_compaction_preserves_labels_and_bounds_children(spark, tmp_path):
+    """compact_cluster_store folds settled batches into one generation:
+    settled labels unchanged, per-bucket child count ≤ 1 + keep_batches,
+    nbinc genuinely aggregated (≤ one row per id in the generation),
+    dead border edges dropped, stale label gens pruned — and the kept
+    newest batch replays identically afterwards."""
+    import os
+
+    from osm_notes_ingestion_spark.streaming.clusters import compact_cluster_store
+
+    root = str(tmp_path / "store")
+    # S (id 70) is a border of blob A in batch 0; T (id 71, batch 1)
+    # promotes S to core (S's old border edge goes DEAD — monotone core)
+    # and becomes a border of S itself. Gives compaction real dead AND
+    # live border edges to distinguish.
+    batches = (B1 + [(70, 0, -999_999)], [(71, 0, -1_200_000)] + B2, B3)
+    for i, batch in enumerate(batches):
+        process_cluster_batch(spark, _mk(spark, batch), i, root, EPS, MIN_PTS, n_buckets=8)
+    before = _settled(spark, root)
+    assert before[70][1] == "core" and before[71][1] == "border"  # fixture sanity
+
+    gen = compact_cluster_store(spark, root, keep_batches=1)
+    assert gen == 1
+    assert _settled(spark, root) == before
+    for sub in ("points", "nbinc", "border"):
+        sroot = f"{root}/{sub}"
+        if not os.path.exists(sroot):
+            continue
+        for bk in os.listdir(sroot):
+            if bk.startswith("bkt="):
+                kids = [d for d in os.listdir(f"{sroot}/{bk}") if d.startswith("batch_id=")]
+                assert len(kids) <= 2, (sub, bk, kids)  # gen + newest batch
+    # nbinc aggregation: the generation holds ≤ one row per id
+    import pyspark.sql.functions as F  # noqa: N812
+
+    nb = spark.read.parquet(f"{root}/nbinc").where("batch_id < 0")
+    dup = nb.groupBy("id").count().where("count > 1").count()
+    assert dup == 0
+    # dead border edges (id now core) are gone from the generation —
+    # S's batch-0 edge must NOT survive, T's live edge must
+    labels = spark.read.parquet(f"{root}/labels")
+    core_ids = {r["node"] for r in labels.select("node").distinct().collect()}
+    bdr = spark.read.parquet(f"{root}/border").where("batch_id < 0")
+    gen_border_ids = {r["id"] for r in bdr.select("id").distinct().collect()}
+    assert 70 not in gen_border_ids and 71 in gen_border_ids
+    assert not gen_border_ids & core_ids
+    # stale label generations pruned to the newest two
+    gens = [d for d in os.listdir(f"{root}/labels") if d.startswith("gen=")]
+    assert len(gens) <= 2
+    # the kept newest batch replays identically over the compacted store
+    process_cluster_batch(spark, _mk(spark, B3), 2, root, EPS, MIN_PTS, n_buckets=8)
+    assert _settled(spark, root) == before
+
+
+def test_compaction_crash_rollback(spark, tmp_path):
+    """A crash BEFORE commit (markers present, partial generation) must
+    roll back on the next compact call; the batch path refuses to run
+    while markers exist."""
+    import os
+
+    from osm_notes_ingestion_spark.streaming.clusters import compact_cluster_store
+
+    root = str(tmp_path / "store")
+    for i, batch in enumerate((B1, B2)):
+        process_cluster_batch(spark, _mk(spark, batch), i, root, EPS, MIN_PTS, n_buckets=8)
+    before = _settled(spark, root)
+    # simulate the pre-commit crash: markers exist, no 'committed'
+    os.makedirs(f"{root}/_compact/gen=-1")
+    os.makedirs(f"{root}/_compact/keep=1")
+    with pytest.raises(RuntimeError, match="compaction markers"):
+        process_cluster_batch(spark, _mk(spark, B3), 2, root, EPS, MIN_PTS, n_buckets=8)
+    # recovery + fresh fold: rollback happens inside the next compact
+    gen = compact_cluster_store(spark, root, keep_batches=1)
+    assert gen >= 1
+    assert _settled(spark, root) == before
