@@ -259,3 +259,145 @@ def tile_user_counts(
         .groupBy("z", "x", "y")
         .agg(agg)
     )
+
+
+# ------------------------------------------- mergeable distinct pyramid
+
+
+def tile_distinct(
+    points: DataFrame,
+    max_zoom: int,
+    min_zoom: int = 0,
+    id_col: str = "user_id",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+) -> DataFrame:
+    """(z, x, y, cnt, uniq) for every zoom in [min_zoom, max_zoom] with
+    uniq = EXACT distinct `id_col` per tile.
+
+    Distinct counts — unlike the additive counts in tile_counts — cannot
+    be summed up a pyramid: an id active in two child tiles would be
+    double-counted in the parent, so the naive plan re-scans the fact
+    table once per zoom (the reference's dwh rebuilds each datamart
+    rollup from the fact table for exactly this reason,
+    sql/dwh/ETL_24_populateDWHTables.sql). Here each finest tile carries
+    a mergeable EXACT distinct set instead: Spark's bitmap functions map
+    id -> (bucket = bitmap_bucket_number, bit = bitmap_bit_position)
+    bijectively into fixed 4 KB bucket bitmaps, bitmap_construct_agg per
+    (tile, bucket) builds the per-tile id-set, parents OR their four
+    children's bitmaps (bitmap_or_agg = set union), and
+    sum(bitmap_count) per tile reads the exact cardinality. The fact
+    table is scanned ONCE for the whole pyramid; every coarser level
+    shuffles only (tiles x touched buckets) rows of <= 4 KB each.
+
+    100-TB notes: the bucket dimension shards a hot tile's id-set across
+    reducers — a worst-case tile holding the whole id domain costs
+    |domain| / 32768 bitmap rows, never one giant row (the skew shape
+    that makes exact COUNT(DISTINCT) fall over). For sparse ids the
+    per-bucket bitmap still stores 4 KB, so the state is bounded by
+    min(|ids|, |domain|/32768 buckets) x 4 KB per tile; for unbounded or
+    very sparse id domains prefer tile_distinct_hll (fixed-size sketch
+    regardless of domain). Any long id is legal: Spark's
+    (bitmap_bucket_number, bitmap_bit_position) pair is bijective over
+    the full int64 range — non-positive ids land in bucket <= 0 with
+    mirrored positions (probed and pinned in tests).
+    """
+    pts = points.where(F.col(lat_col).isNotNull() & F.col(lon_col).isNotNull())
+    ident = F.col(id_col).cast("long")
+    finest = (
+        pts.select(
+            F.lit(max_zoom).alias("z"),
+            tile_x_col(F.col(lon_col), max_zoom).alias("x"),
+            tile_y_col(F.col(lat_col), max_zoom).alias("y"),
+            F.bitmap_bucket_number(ident).alias("bkt"),
+            F.bitmap_bit_position(ident).alias("pos"),
+        )
+        .groupBy("z", "x", "y", "bkt")
+        .agg(F.count("*").alias("cnt"), F.bitmap_construct_agg("pos").alias("bm"))
+    )
+
+    def _finish(level: DataFrame) -> DataFrame:
+        return level.groupBy("z", "x", "y").agg(
+            F.sum("cnt").alias("cnt"),
+            F.sum(F.bitmap_count("bm")).alias("uniq"),
+        )
+
+    out = [_finish(finest)]
+    cur = finest
+    for z in range(max_zoom - 1, min_zoom - 1, -1):
+        cur = (
+            cur.select(
+                F.lit(z).alias("z"),
+                F.shiftright("x", 1).alias("x"),
+                F.shiftright("y", 1).alias("y"),
+                "bkt",
+                "cnt",
+                "bm",
+            )
+            .groupBy("z", "x", "y", "bkt")
+            .agg(F.sum("cnt").alias("cnt"), F.bitmap_or_agg("bm").alias("bm"))
+        )
+        out.append(_finish(cur))
+    return reduce(DataFrame.unionByName, out)
+
+
+def tile_distinct_hll(
+    points: DataFrame,
+    max_zoom: int,
+    min_zoom: int = 0,
+    id_col: str = "user_id",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    lgk: int = 12,
+) -> DataFrame:
+    """Approx twin of tile_distinct: (z, x, y, cnt, uniq_est) with a
+    fixed-size Apache DataSketches HLL sketch per tile instead of exact
+    bitmaps. hll_sketch_agg at the finest zoom, hll_union_agg up the
+    pyramid, hll_sketch_estimate at read. Union-merged estimates can
+    differ from direct per-tile sketching by a few per mille (the two
+    paths promote sparse->dense representations at different moments),
+    but both stay inside the lgk error bound — the pinned contract is
+    accuracy vs the EXACT count at every level
+    (tests/test_tile_distinct.py). 2^lgk bytes of state
+    per tile regardless of id-domain size; standard error ~= 1.04 /
+    sqrt(2^lgk) (~1.6% at the lgk=12 default). Use when the id domain
+    is unbounded (url/host strings, 64-bit ids) and exact bitmaps would
+    shard into too many buckets; the estimate column is clearly named so
+    downstream cannot mistake it for the exact path.
+    """
+    pts = points.where(F.col(lat_col).isNotNull() & F.col(lon_col).isNotNull())
+    finest = (
+        pts.select(
+            F.lit(max_zoom).alias("z"),
+            tile_x_col(F.col(lon_col), max_zoom).alias("x"),
+            tile_y_col(F.col(lat_col), max_zoom).alias("y"),
+            F.col(id_col).alias("_id"),
+        )
+        .groupBy("z", "x", "y")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.hll_sketch_agg("_id", F.lit(lgk)).alias("sk"),
+        )
+    )
+
+    def _finish(level: DataFrame) -> DataFrame:
+        return level.select(
+            "z", "x", "y", "cnt", F.hll_sketch_estimate("sk").alias("uniq_est")
+        )
+
+    out = [_finish(finest)]
+    cur = finest
+    for z in range(max_zoom - 1, min_zoom - 1, -1):
+        cur = (
+            cur.select(
+                F.lit(z).alias("z"),
+                F.shiftright("x", 1).alias("x"),
+                F.shiftright("y", 1).alias("y"),
+                "cnt",
+                "sk",
+            )
+            .groupBy("z", "x", "y")
+            .agg(F.sum("cnt").alias("cnt"), F.hll_union_agg("sk").alias("sk"))
+        )
+        out.append(_finish(cur))
+    return reduce(DataFrame.unionByName, out)

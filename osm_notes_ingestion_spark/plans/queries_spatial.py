@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 from ..operators.extract import extract_pages
 from ..operators.knn import knn
 from ..operators.spatial_join import assign_countries
-from ..operators.tiles import tile_counts
+from ..operators.tiles import tile_counts, tile_distinct
 from ..sources.polygons import prep_polygons
 from ..sources.synth import (
     pages_df,
@@ -201,14 +201,34 @@ _TILE_Y = (
 
 
 def q_tiles_z4(spark, sf_dir):
-    """Rolled up from z6 through the parent-sum path (proves the pyramid),
-    compared against a direct z4 binning oracle."""
-    pts = _extracted(spark, sf_dir).where(F.col("has_coords"))
-    return tile_counts(pts, max_zoom=6, min_zoom=4).where(F.col("z") == 4).select("z", "x", "y", "cnt")
+    """Rolled up from z6 through the parent-merge path (proves the
+    pyramid), compared against a direct z4 binning oracle. Strict
+    superset since round 5b: alongside the additive cnt the gate now
+    carries uniq_users — EXACT distinct contributors per tile, derived
+    by MERGING the z6 tiles' bitmap id-sets upward (bitmap_or_agg =
+    set union; operators/tiles.py::tile_distinct) while the oracle
+    counts DISTINCT u directly per z4 tile. A user active in several z6
+    children of one z4 tile is the case that distinguishes merge from
+    re-scan — summing child distincts would double-count them, so a
+    hash match here pins the mergeable-distinct pyramid end to end."""
+    pts = (
+        _extracted(spark, sf_dir)
+        .where(F.col("has_coords"))
+        .withColumn(
+            "user_id",
+            F.pmod(F.col("id") * F.lit(48271) + F.lit(11), F.lit(100000)),
+        )
+    )
+    return (
+        tile_distinct(pts, max_zoom=6, min_zoom=4, id_col="user_id")
+        .where(F.col("z") == 4)
+        .select("z", "x", "y", "cnt", F.col("uniq").alias("uniq_users"))
+    )
 
 
 SQL_TILES_Z4 = f"""{_PTS_CTE}
-SELECT 4 AS z, {_TILE_X.format(n=16)} AS x, {_TILE_Y.format(n=16)} AS y, count(*) AS cnt
+SELECT 4 AS z, {_TILE_X.format(n=16)} AS x, {_TILE_Y.format(n=16)} AS y, count(*) AS cnt,
+       count(DISTINCT u) AS uniq_users
 FROM pts WHERE u < 90000
 GROUP BY 1, 2, 3"""
 

@@ -18,6 +18,8 @@ Jobs:
     vectorize — tile rollup → dissolved regions (raster→vector)
     dwithin — sites-within-radius proximity join
     sessions — gap-based sessionization stats
+    zorder — Morton-clustered parquet rewrite + footer pruning report
+    tiles_distinct — mergeable distinct-contributor pyramid (bitmaps)
     incremental — watermark-bounded batch into the snapshot store
 
 Writes parquet outputs under --output and metrics under --output/metrics.
@@ -39,6 +41,7 @@ def build_parser() -> argparse.ArgumentParser:
             "assign", "fused", "tiles", "knn", "knn_bulk", "incremental",
             "dedup", "stream_dedup", "vectorize", "dwithin", "sessions", "curate",
             "overlap", "sample", "cluster", "stream_cluster", "measures",
+            "zorder", "tiles_distinct",
         ],
     )
     p.add_argument("--sf-dir", required=True)
@@ -105,6 +108,7 @@ def build_parser() -> argparse.ArgumentParser:
         help="per-stratum Bernoulli fraction (--job sample)",
     )
     p.add_argument("--sample-seed", type=int, default=0)
+    p.add_argument("--zorder-files", type=int, default=64)
     p.add_argument("--resume", action="store_true")
     p.add_argument("--snapshot-root", default=None)
     p.add_argument(
@@ -199,6 +203,49 @@ def main(argv: list[str] | None = None) -> None:
         )
         tiles.write.mode("overwrite").parquet(f"{args.output}/tiles")
         mlog.log_stage(run_id, "lineage", partition_lineage(tiles, ("z",)))
+    elif args.job == "zorder":
+        # spatial file layout: rewrite the extracted points Morton-
+        # clustered and report the footer-stats pruning a 10x10-degree
+        # probe bbox would see (sources/layout.py)
+        from .sources.layout import (
+            bbox_file_stats,
+            bbox_overlap_fraction,
+            write_zordered,
+        )
+
+        pts = ext.where("has_coords AND NOT rejected")
+        out_dir = f"{args.output}/zordered"
+        write_zordered(pts, out_dir, n_files=args.zorder_files)
+        files, rgs = bbox_file_stats(out_dir)
+        probe = dict(lat_min=40.0, lat_max=50.0, lon_min=0.0, lon_max=10.0)
+        mlog.log_counters(
+            run_id,
+            "zorder",
+            {
+                "n_files": len(files),
+                "n_rowgroups": len(rgs),
+                "probe_file_overlap_pct": round(
+                    100.0 * bbox_overlap_fraction(files, **probe), 2
+                ),
+                "probe_rowgroup_overlap_pct": round(
+                    100.0 * bbox_overlap_fraction(rgs, **probe), 2
+                ),
+            },
+        )
+    elif args.job == "tiles_distinct":
+        # mergeable distinct-contributor pyramid (exact bitmap path)
+        from .operators.tiles import tile_distinct
+
+        pts = ext.where("has_coords AND NOT rejected").withColumn(
+            "user_id", F.pmod(F.col("id") * F.lit(48271) + F.lit(11), F.lit(100000))
+        )
+        td = tile_distinct(pts, max_zoom=args.max_zoom, min_zoom=args.min_zoom)
+        td.write.mode("overwrite").parquet(f"{args.output}/tiles_distinct")
+        mlog.log_counters(
+            run_id,
+            "tiles_distinct",
+            {"n_tiles": spark.read.parquet(f"{args.output}/tiles_distinct").count()},
+        )
     elif args.job == "knn":
         queries = [
             (int(q.split(":")[0]), float(q.split(":")[1]), float(q.split(":")[2]))
