@@ -48,7 +48,11 @@ def _iceberg_jar_probe() -> tuple[str | None, str]:
     the driver vendoring the jar into the sandbox.
 
     Late-round-5 re-probe (2026-08-19): unchanged — sweep empty, curl
-    exit 6 (host resolution)."""
+    exit 6 (host resolution).
+
+    Round-5 continuation re-probe (2026-08-21): unchanged — full
+    filesystem sweep empty, no ~/.ivy2, `curl -I
+    https://repo1.maven.org/maven2/` exit 6 / http 000."""
     import pyspark
 
     candidates: list[str] = []
