@@ -41,7 +41,7 @@ def build_parser() -> argparse.ArgumentParser:
             "assign", "fused", "tiles", "knn", "knn_bulk", "incremental",
             "dedup", "stream_dedup", "vectorize", "dwithin", "sessions", "curate",
             "overlap", "sample", "cluster", "stream_cluster", "measures",
-            "zorder", "tiles_distinct",
+            "zorder", "tiles_distinct", "hull",
         ],
     )
     p.add_argument("--sf-dir", required=True)
@@ -231,6 +231,20 @@ def main(argv: list[str] | None = None) -> None:
                     100.0 * bbox_overlap_fraction(rgs, **probe), 2
                 ),
             },
+        )
+    elif args.job == "hull":
+        # per-country coverage footprint of the assigned pages
+        from .operators.hull import convex_hull
+
+        assigned = assign_countries(spark, ext, index)
+        hulls = convex_hull(
+            assigned.where("lat IS NOT NULL AND country_id IS NOT NULL")
+        )
+        hulls.write.mode("overwrite").parquet(f"{args.output}/hulls")
+        mlog.log_counters(
+            run_id,
+            "hull",
+            {"n_keys": spark.read.parquet(f"{args.output}/hulls").count()},
         )
     elif args.job == "tiles_distinct":
         # mergeable distinct-contributor pyramid (exact bitmap path)
