@@ -120,3 +120,52 @@ def convex_hull(
     )
     partials = salted.groupBy("key", "_salt").applyInPandas(_partial, _PARTIAL_SCHEMA)
     return partials.groupBy("key").applyInPandas(_final, HULL_SCHEMA)
+
+
+def merge_hulls(
+    existing: DataFrame,
+    delta_points: DataFrame,
+    key_col: str = "country_id",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    salt: int = 16,
+) -> DataFrame:
+    """Incremental footprint maintenance: published hulls + a batch of
+    new points -> updated hulls. Mergeability again does the work: a
+    stored hull's VERTICES are a lossless summary of its key's history
+    for hull purposes, so the update is convex_hull(old vertices ∪ new
+    points) — the batch, never the corpus, is re-processed. Keys absent
+    from the delta pass through untouched (semi/anti-join split on the
+    delta's key set, broadcast-sized by construction); incremental ≡
+    full-recompute is pinned in tests/test_hull.py.
+
+    Hulls only grow: point DELETION is not expressible (a hull is not
+    an invertible sketch) — the same contract as the reference's
+    append-only note stream; rebuild from facts for retractions.
+
+    Reference analog: trigger-maintained derived state
+    (processPlanetNotes_22_createBaseTables_tables.sql:249-347) — the
+    same merge shape as merge_tile_counts and the streaming cluster
+    store's generation fold.
+    """
+    dkeys = delta_points.select(F.col(key_col).cast("long").alias("key")).distinct()
+    old_pts = (
+        existing.join(dkeys, "key", "left_semi")
+        .select("key", F.explode("hull").alias("v"))
+        .select(
+            "key",
+            F.col("v.lon").alias("lon"),
+            F.col("v.lat").alias("lat"),
+        )
+    )
+    new_pts = delta_points.where(
+        F.col(lat_col).isNotNull() & F.col(lon_col).isNotNull()
+    ).select(
+        F.col(key_col).cast("long").alias("key"),
+        F.col(lon_col).cast("double").alias("lon"),
+        F.col(lat_col).cast("double").alias("lat"),
+    )
+    updated = convex_hull(
+        old_pts.unionByName(new_pts), key_col="key", lat_col="lat", lon_col="lon", salt=salt
+    )
+    return existing.join(dkeys, "key", "left_anti").unionByName(updated)

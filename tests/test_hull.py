@@ -158,3 +158,35 @@ def test_all_points_covered(spark, keyed_points):
             cr = (a[0] - o[0]) * (lat - o[1]) - (a[1] - o[1]) * (lon - o[0])
             inside &= cr >= -1e-9
         assert inside.all(), key
+
+
+def test_merge_hulls_incremental_equals_full(spark):
+    from osm_notes_ingestion_spark.operators.hull import merge_hulls
+
+    rng = np.random.default_rng(21)
+    batches = []
+    for b in range(3):
+        rows = []
+        for i in range(300):
+            key = int(rng.integers(1, 4))
+            rows.append((key, float(rng.uniform(-40, 40)), float(rng.uniform(-90, 90))))
+        # batch 1 introduces key 9; batches 0 and 2 never touch it
+        if b == 1:
+            rows += [(9, 1.0, 1.0), (9, 2.0, 5.0), (9, -1.0, 3.0)]
+        batches.append(
+            spark.createDataFrame(rows, "country_id long, lat double, lon double")
+        )
+
+    state = convex_hull(batches[0])
+    for delta in batches[1:]:
+        state = merge_hulls(state, delta)
+
+    full = batches[0]
+    for delta in batches[1:]:
+        full = full.unionByName(delta)
+    want = {r["key"]: ([tuple(v) for v in r["hull"]], r["n_vertices"], r["area_deg2"])
+            for r in convex_hull(full).collect()}
+    got = {r["key"]: ([tuple(v) for v in r["hull"]], r["n_vertices"], r["area_deg2"])
+           for r in state.collect()}
+    assert got == want
+    assert 9 in got and got[9][1] == 3
