@@ -41,7 +41,7 @@ def build_parser() -> argparse.ArgumentParser:
             "assign", "fused", "tiles", "knn", "knn_bulk", "incremental",
             "dedup", "stream_dedup", "vectorize", "dwithin", "sessions", "curate",
             "overlap", "sample", "cluster", "stream_cluster", "measures",
-            "zorder", "tiles_distinct", "hull",
+            "zorder", "tiles_distinct", "hull", "stream_sessions",
         ],
     )
     p.add_argument("--sf-dir", required=True)
@@ -433,6 +433,43 @@ def main(argv: list[str] | None = None) -> None:
         res = session_stats(ev, args.session_gap_s)
         res.write.mode("overwrite").parquet(f"{args.output}/sessions")
         mlog.log_counters(run_id, "sessions", {"n_sessions": res.count()})
+    elif args.job == "stream_sessions":
+        # session_window twin of --job sessions: stage the events as
+        # one-file micro-batches, run the append-mode watermark stream,
+        # and report emitted (= watermark-closed) vs batch-total
+        # sessions — the difference is the in-flight tail still in
+        # state when the finite stream drains, which a live deployment
+        # would emit as later events advance the watermark
+        from .operators.merge import session_stats
+        from .streaming.sessions import streaming_session_stats
+
+        ev = spark.read.parquet(f"{args.sf_dir}/events.parquet").select("user_id", "ts")
+        src = f"{args.output}/stream_src"
+        jvm = spark._jvm
+        hconf = spark._jsc.hadoopConfiguration()
+        for p in (src, f"{args.output}/sessions", f"{args.output}/ckpt"):
+            hp = jvm.org.apache.hadoop.fs.Path(p)
+            hp.getFileSystem(hconf).delete(hp, True)
+        ev.repartition(4).write.mode("overwrite").parquet(src)
+        stream = streaming_session_stats(
+            spark, src, ev.schema, gap_s=args.session_gap_s, max_files_per_trigger=1
+        )
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", f"{args.output}/sessions")
+            .option("checkpointLocation", f"{args.output}/ckpt")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        emitted = spark.read.parquet(f"{args.output}/sessions").count()
+        total = session_stats(ev, args.session_gap_s).count()
+        mlog.log_counters(
+            run_id,
+            "stream_sessions",
+            {"n_emitted": emitted, "n_batch_total": total, "n_in_flight": total - emitted},
+        )
     elif args.job == "curate":
         # the full training-data funnel: exact dedup → paragraph dedup →
         # quality filter → (optional) decontamination → near-dup

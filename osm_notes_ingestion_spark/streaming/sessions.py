@@ -65,7 +65,11 @@ def streaming_session_stats(
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(source_dir)
     )
-    ep = F.col(ts_col).cast("timestamp").cast("long")
+    # watermarks demand TIMESTAMP (ltz); parquet sources often carry
+    # TIMESTAMP_NTZ — cast up front (stable: the session is pinned UTC,
+    # same ntz→ltz convention as the batch fold's epoch cast)
+    stream = stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    ep = F.col(ts_col).cast("long")
     return (
         stream.withWatermark(ts_col, watermark_delay)
         .groupBy(
