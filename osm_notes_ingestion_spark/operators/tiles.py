@@ -271,9 +271,14 @@ def tile_distinct(
     id_col: str = "user_id",
     lat_col: str = "lat",
     lon_col: str = "lon",
+    extra_dims: tuple[str, ...] = (),
 ) -> DataFrame:
-    """(z, x, y, cnt, uniq) for every zoom in [min_zoom, max_zoom] with
-    uniq = EXACT distinct `id_col` per tile.
+    """(z, x, y, [extra_dims...], cnt, uniq) for every zoom in
+    [min_zoom, max_zoom] with uniq = EXACT distinct `id_col` per tile.
+
+    extra_dims: optional grouping dimensions carried through every zoom,
+    same contract as tile_counts (the year-bucket analog) — distinct is
+    then per (tile, dims) cell and merges only within a cell.
 
     Distinct counts — unlike the additive counts in tile_counts — cannot
     be summed up a pyramid: an id active in two child tiles would be
@@ -304,20 +309,22 @@ def tile_distinct(
     """
     pts = points.where(F.col(lat_col).isNotNull() & F.col(lon_col).isNotNull())
     ident = F.col(id_col).cast("long")
+    dims = list(extra_dims)
     finest = (
         pts.select(
             F.lit(max_zoom).alias("z"),
             tile_x_col(F.col(lon_col), max_zoom).alias("x"),
             tile_y_col(F.col(lat_col), max_zoom).alias("y"),
+            *[F.col(c) for c in dims],
             F.bitmap_bucket_number(ident).alias("bkt"),
             F.bitmap_bit_position(ident).alias("pos"),
         )
-        .groupBy("z", "x", "y", "bkt")
+        .groupBy("z", "x", "y", *dims, "bkt")
         .agg(F.count("*").alias("cnt"), F.bitmap_construct_agg("pos").alias("bm"))
     )
 
     def _finish(level: DataFrame) -> DataFrame:
-        return level.groupBy("z", "x", "y").agg(
+        return level.groupBy("z", "x", "y", *dims).agg(
             F.sum("cnt").alias("cnt"),
             F.sum(F.bitmap_count("bm")).alias("uniq"),
         )
@@ -330,11 +337,12 @@ def tile_distinct(
                 F.lit(z).alias("z"),
                 F.shiftright("x", 1).alias("x"),
                 F.shiftright("y", 1).alias("y"),
+                *dims,
                 "bkt",
                 "cnt",
                 "bm",
             )
-            .groupBy("z", "x", "y", "bkt")
+            .groupBy("z", "x", "y", *dims, "bkt")
             .agg(F.sum("cnt").alias("cnt"), F.bitmap_or_agg("bm").alias("bm"))
         )
         out.append(_finish(cur))

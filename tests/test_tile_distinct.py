@@ -182,3 +182,24 @@ def test_binning_matches_numpy_twin(spark):
     x, y = tile_xy_np(lat, lon, 5)
     want = sorted(set(zip(x.tolist(), y.tolist())))
     assert got == want
+
+
+def test_extra_dims_carried_and_scoped(spark):
+    # distinct is per (tile, dims) cell: the same user under two dim
+    # values counts once in EACH cell; the pyramid merge stays inside a
+    # cell (same contract as tile_counts' year buckets)
+    rows = [
+        (7, 10.0, 10.0, 2023),
+        (7, 10.0, 100.0, 2023),   # other z2 child, same z1 parent
+        (7, 10.0, 10.0, 2024),
+        (8, 10.0, 10.0, 2024),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, lat double, lon double, yr long")
+    got = {
+        (r["z"], r["x"], r["y"], r["yr"]): (r["cnt"], r["uniq"])
+        for r in tile_distinct(df, max_zoom=2, min_zoom=1, extra_dims=("yr",)).collect()
+    }
+    assert got[(1, 1, 0, 2023)] == (2, 1)   # user 7 merged across children
+    assert got[(1, 1, 0, 2024)] == (2, 2)   # users 7 and 8
+    assert got[(2, 2, 1, 2023)] == (1, 1)
+    assert got[(2, 3, 1, 2023)] == (1, 1)
