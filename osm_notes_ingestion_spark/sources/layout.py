@@ -114,6 +114,10 @@ def bbox_file_stats(path: str, lat_col: str = "lat", lon_col: str = "lon"):
     O(#files) listing cost any planner pays.
 
     Returns (files, rowgroups): lists of dicts with lat/lon min/max.
+
+    QA/evidence helper for LOCAL paths (os.listdir + pyarrow footers);
+    on an object store the scan planner itself does this pruning — use
+    the engine's scan metrics there instead of this helper.
     """
     import os
 
